@@ -1,0 +1,37 @@
+"""PyDEns-TPU: a TPU-native framework for solving ODEs & PDEs with neural
+networks (physics-informed training), built in pure JAX with the full
+capability set of the reference ``analysiscenter/pydens`` v1.0.2
+(``/root/reference``): common ODEs/PDEs, parametric equation families, and
+inverse problems with trainable coefficients.
+
+Public surface mirrors the reference exports
+(``/root/reference/pydens/__init__.py:4-5``): ``Solver``, tokens ``D``/``V``,
+model classes, plus the sampler suite — and adds the TPU-era pieces: symbolic
+math wrappers, device meshes for data-parallel training, and checkpointing.
+"""
+
+from .ops.tokens import D, V, Expr, lift
+from .ops.math import (sin, cos, tan, arcsin, arccos, arctan, arctan2, sinh,
+                       cosh, tanh, exp, expm1, log, log1p, log2, log10, sqrt,
+                       square, power, sign, maximum, minimum, where, clip,
+                       sigmoid, softplus, erf)
+from .models import Model, ConvBlockModel, TorchModel
+from .solver import Solver
+from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
+                       HistoSampler, ScipySampler, ProductSampler,
+                       MixtureSampler)
+from .parallel import make_mesh
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Solver", "D", "V", "Expr", "lift",
+    "Model", "ConvBlockModel", "TorchModel",
+    "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
+    "ScipySampler", "ProductSampler", "MixtureSampler",
+    "make_mesh",
+    "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
+    "cosh", "tanh", "exp", "expm1", "log", "log1p", "log2", "log10", "sqrt",
+    "square", "power", "sign", "maximum", "minimum", "where", "clip",
+    "sigmoid", "softplus", "erf",
+]

@@ -1,0 +1,268 @@
+"""Model base class and the default layout-built model.
+
+TPU-native re-design of ``TorchModel``/``ConvBlockModel``
+(``/root/reference/pydens/model_torch.py:17-172``): the model object is a
+*configuration + pure-function bundle*.  Parameters live in a pytree
+
+``{'net': {'fc1': {'w','b'}, ...}, 'log_scale': scalar,
+   'variables': {name: array, ...}}``
+
+owned by the model instance (``model.params``) and threaded functionally
+through jitted train/predict steps by the Solver.  The ansatz transform that
+binds boundary/initial conditions by construction is reproduced exactly from
+``model_torch.py:107-128``, including the trainable ``log_scale`` sharpness of
+the sigmoid time-gate (``:50,126``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .layout import make_layout_network
+from ..ops.tokens import variable_scope
+
+__all__ = ["Model", "ConvBlockModel", "TorchModel"]
+
+
+def _normalize_domain(domain, ndims):
+    """Parse the ``domain`` argument exactly like the reference
+    (``model_torch.py:37-46``): a ``(lo, hi)`` pair is tiled over all dims; a
+    per-dim sequence of pairs passes through."""
+    if isinstance(domain, (tuple, list)):
+        if len(domain) > 0 and isinstance(domain[0], (float, int)):
+            domain = [tuple(domain)] * ndims
+        elif len(domain) > 0 and isinstance(domain[0], (tuple, list)):
+            domain = [tuple(d) for d in domain]
+        else:
+            raise ValueError(
+                "domain should be either 1d or 2d-sequence of float/ints.")
+    else:
+        raise ValueError(
+            "domain should be either 1d or 2d-sequence of float/ints.")
+    if len(domain) != ndims:
+        raise ValueError(
+            f"domain has {len(domain)} (lo, hi) pairs but ndims={ndims}")
+    return domain
+
+
+class Model:
+    """Base model: problem dimensionality, condition parsing, and the ansatz.
+
+    Subclasses implement the network body via :meth:`network_init` and
+    :meth:`network_apply`.  Mirrors ``TorchModel.__init__``
+    (``model_torch.py:19-50``): ``ndims_spatial = ndims - 1`` iff an initial
+    condition is given; constant initial conditions are wrapped into a
+    callable; ``log_scale`` is a trainable scalar.
+    """
+
+    def __init__(self, ndims, initial_condition=None, boundary_condition=None,
+                 domain=(0, 1), nparams=0, dtype=jnp.float32, **kwargs):
+        _ = kwargs
+        self.ndims = ndims
+        self.ndims_spatial = ndims if initial_condition is None else ndims - 1
+        self.nparams = nparams
+        self.total = ndims + nparams
+        self.dtype = dtype
+
+        if initial_condition is None:
+            self.initial_condition = None
+        elif callable(initial_condition):
+            self.initial_condition = initial_condition
+        else:
+            ic_value = np.float32(np.asarray(
+                initial_condition.detach().cpu().numpy()
+                if hasattr(initial_condition, "detach") else initial_condition
+            ).reshape(()))
+            self.initial_condition = lambda *args: jnp.asarray(ic_value)
+        self.boundary_condition = boundary_condition
+        self.domain = _normalize_domain(domain, ndims)
+
+        # Mutable training-time state, owned by the Solver but kept here so
+        # `model(...)`, `model.freeze_trainable(...)` work like the reference.
+        self.params = None
+        self._frozen_layers = set()
+        self._frozen_variables = set()
+        self._apply_jit = jax.jit(self._apply_with_variables)
+
+    # -- network body (overridden by subclasses) ---------------------------
+    def network_init(self, key):
+        """Initialize the network-body parameter pytree."""
+        raise NotImplementedError
+
+    def network_apply(self, net_params, xs):
+        """Apply the network body to a ``(N, total)`` batch."""
+        raise NotImplementedError
+
+    # -- parameter management ----------------------------------------------
+    def init_params(self, key, variables=None):
+        """Build the full parameter pytree."""
+        return {
+            "net": self.network_init(key),
+            "log_scale": jnp.asarray(0.0, self.dtype),
+            "variables": {k: jnp.asarray(v, self.dtype)
+                          for k, v in (variables or {}).items()},
+        }
+
+    def trainable_mask(self, params):
+        """Boolean pytree matching ``params``: True where trainable.
+
+        Frozen layers are addressed by name (``fc1``..., or ``conv_block`` /
+        ``net`` for the whole body); frozen variables by name (``log_scale``
+        or any V-token variable).
+        """
+        freeze_all_net = bool({"conv_block", "net"} & self._frozen_layers)
+
+        def layer_mask(name, subtree):
+            trainable = not (freeze_all_net or name in self._frozen_layers)
+            return jax.tree.map(lambda _: trainable, subtree)
+
+        return {
+            "net": {name: layer_mask(name, sub)
+                    for name, sub in params["net"].items()},
+            "log_scale": "log_scale" not in self._frozen_variables,
+            "variables": {name: name not in self._frozen_variables
+                          for name in params["variables"]},
+        }
+
+    def _validate_freeze_names(self, layers, variables):
+        """Unknown names are an error, as in the reference (its ``getattr``
+        lookups raise AttributeError, ``model_torch.py:76,81``)."""
+        if self.params is None:
+            return  # pre-init freeze; validated lazily on the next mask build
+        known_layers = set(self.params["net"]) | {"conv_block", "net"}
+        for name in layers:
+            if name not in known_layers:
+                raise AttributeError(
+                    f"unknown layer {name!r}; known layers: "
+                    f"{sorted(self.params['net'])} (or 'conv_block' for the "
+                    "whole network body)")
+        known_vars = set(self.params["variables"]) | {"log_scale"}
+        for name in variables:
+            if name not in known_vars:
+                raise AttributeError(
+                    f"unknown trainable variable {name!r}; known: "
+                    f"{sorted(known_vars)}")
+
+    # -- freeze / unfreeze (reference API: model_torch.py:56-105) ----------
+    def freeze_trainable(self, layers=None, variables=None):
+        """Freeze layers (by name) and trainable variables, as in the
+        reference's two-phase inverse-problem training."""
+        layers = list(layers or [])
+        variables = list(variables or [])
+        self._validate_freeze_names(layers, variables)
+        self._frozen_layers |= set(layers)
+        self._frozen_variables |= set(variables)
+
+    def unfreeze_trainable(self, layers=None, variables=None):
+        """Reverse :meth:`freeze_trainable`."""
+        layers = list(layers or [])
+        variables = list(variables or [])
+        self._validate_freeze_names(layers, variables)
+        self._frozen_layers -= set(layers)
+        self._frozen_variables -= set(variables)
+
+    # README.md:126 / examples notebook use these names (a doc/code mismatch
+    # in the reference — v1.0.2 ships freeze_trainable); support both.
+    freeze_layers = freeze_trainable
+    unfreeze_layers = unfreeze_trainable
+
+    # -- forward + ansatz ---------------------------------------------------
+    def apply(self, params, xs):
+        """Full forward: network body then ansatz. ``xs`` is ``(N, total)``."""
+        u = self.network_apply(params["net"], xs)
+        return self.anzatc(u, xs, params)
+
+    def anzatc(self, u, xs, params):
+        """Ansatz transform binding boundary/initial conditions exactly.
+
+        Faithful port of ``model_torch.py:107-128``:
+
+        * BC: ``u * prod((x-lo)/(hi-lo)) * prod((hi-x)/(hi-lo)) + bc`` over
+          the spatial dims — the polynomial vanishes on the whole boundary,
+          so the condition holds by construction.
+        * IC: ``(sigmoid((t-t0)/exp(log_scale)) - 0.5) * u + ic(x_spatial)``
+          where ``t`` is the last *variable* column and ``t0`` the lower end
+          of the last domain interval; ``log_scale`` is trainable sharpness.
+
+        Parameter columns (``nparams``) pass through the network but never
+        enter the ansatz.
+        """
+        nds = self.ndims_spatial
+        xs_spatial = xs[:, :nds]
+        t = xs[:, self.ndims - 1:self.ndims]
+        lower = [lims[0] for lims in self.domain]
+        upper = [lims[1] for lims in self.domain]
+        t0 = lower[-1]
+
+        if self.boundary_condition is not None:
+            lo = jnp.asarray(lower[:nds], self.dtype).reshape(1, -1)
+            hi = jnp.asarray(upper[:nds], self.dtype).reshape(1, -1)
+            span = hi - lo
+            shape_fn = (
+                jnp.prod((xs_spatial - lo) / span, axis=1, keepdims=True)
+                * jnp.prod((hi - xs_spatial) / span, axis=1, keepdims=True))
+            u = u * shape_fn + self.boundary_condition
+
+        if self.initial_condition is not None:
+            cols = [xs_spatial[:, i] for i in range(nds)]
+            ic = jnp.asarray(self.initial_condition(*cols), self.dtype)
+            ic = ic.reshape(-1, 1)
+            gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
+            u = gate * u + ic
+        return u
+
+    # -- stateful conveniences ----------------------------------------------
+    def _apply_with_variables(self, params, xs):
+        with variable_scope("read", params["variables"]):
+            return self.apply(params, xs)
+
+    def __call__(self, *xs):
+        """Evaluate the trained model at host-supplied points (the reference's
+        ``solver.model(xs)`` usage from the examples notebook).  Accepts the
+        same mixed inputs as ``Solver.predict``."""
+        from ..solver import Solver  # local import to avoid a cycle
+        if self.params is None:
+            raise RuntimeError("model has no parameters yet — build it "
+                               "through a Solver")
+        xs_concat = Solver.reshape_and_concat(xs)
+        return self._apply_jit(self.params, jnp.asarray(xs_concat))
+
+    forward = __call__
+
+
+class ConvBlockModel(Model):
+    """Default model: network body built from the layout-string DSL.
+
+    Mirrors ``ConvBlockModel`` (``model_torch.py:130-172``): defaults
+    ``layout='fafaf'``, ``features=(20, 30, 1)``, ``activation='Sigmoid'``;
+    accepts the ``units`` spelling for ``features`` (``README.md:41-42``).
+    """
+
+    def __init__(self, ndims, initial_condition=None, boundary_condition=None,
+                 domain=(0, 1), nparams=0, layout="fafaf",
+                 features=(20, 30, 1), activation="Sigmoid", units=None,
+                 dtype=jnp.float32, **kwargs):
+        super().__init__(ndims=ndims, initial_condition=initial_condition,
+                         boundary_condition=boundary_condition, domain=domain,
+                         nparams=nparams, dtype=dtype, **kwargs)
+        if units is not None:
+            features = units
+        self.layout = layout
+        self.features = list(features)
+        self.activation = activation
+        self._net_init, self._net_apply, self.layer_names = \
+            make_layout_network(layout, self.features, activation,
+                                in_dim=self.total, dtype=dtype)
+
+    def network_init(self, key):
+        return self._net_init(key)
+
+    def network_apply(self, net_params, xs):
+        return self._net_apply(net_params, xs)
+
+
+# Migration alias: the reference exports `TorchModel` as the subclassing base
+# (`/root/reference/pydens/__init__.py:4`).
+TorchModel = Model

@@ -1,0 +1,7 @@
+"""Compute-path ops: tokens (D/V), symbolic math, derivative helpers."""
+
+from .tokens import Expr, D, V, variable_scope, as_array, lift, EvalContext
+from . import math
+
+__all__ = ["Expr", "D", "V", "variable_scope", "as_array", "lift",
+           "EvalContext", "math"]

@@ -1,0 +1,345 @@
+"""Differentiation (`D`) and trainable-variable (`V`) tokens — the TPU-native
+re-design of the reference's autograd bridge.
+
+Reference semantics (``/root/reference/pydens/model_torch.py:174-188``):
+
+* ``D(y, x)`` is ``torch.autograd.grad(y.sum(), x, retain_graph=True,
+  create_graph=True)[0]`` — the per-point partial derivative of ``y`` with
+  respect to the leaf coordinate column ``x``.  It relies on the dynamic torch
+  graph: every coordinate is a separate ``(N, 1)`` leaf tensor and ``y.sum()``
+  exploits the batch-diagonal Jacobian structure.
+* ``V(name, ...)`` lazily creates an ``nn.Parameter`` on the model found via a
+  ``ContextVar`` so trainable coefficients can be introduced from inside the
+  user's equation callable.
+
+JAX has no dynamic tape, so the rebuild re-expresses both tokens functionally:
+
+* Every quantity inside an equation callable is a lazy :class:`Expr` node
+  wrapping a *pure closure over the list of leaf columns*.  ``D(y, x)`` builds
+  a new node whose closure is a ``jax.jvp`` tap of ``y``'s closure with a
+  one-hot-column tangent — the forward-mode analogue of the reference's
+  batch-diagonal trick (tangent = ones in column ``k`` extracts the per-point
+  partial for row-wise functions).  Nested ``D`` composes ``jvp`` — i.e.
+  higher-order *forward* mode, the efficient scheme for Laplacian taps on TPU
+  (reverse-over-forward once the outer loss gradient is taken).
+* ``V`` reads/creates entries of a ``variables`` sub-pytree of the parameter
+  tree through a scoped registry (:func:`variable_scope`), mirroring the
+  reference's init-time fake run that materializes all variables before the
+  optimizer exists.
+
+Everything here traces under ``jax.jit``: the whole residual, including all
+derivative taps, compiles into a single XLA computation where common primal
+subgraphs are CSE'd and elementwise ops fuse into the matmuls.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Expr", "D", "V", "variable_scope", "as_array", "lift"]
+
+
+class EvalContext:
+    """Shared evaluation context: the current list of leaf columns.
+
+    One context is created per equation evaluation (one per training step /
+    predict call); every :class:`Expr` built during that evaluation references
+    it so that lazy ``.value`` computation sees the right leaves.
+    """
+
+    __slots__ = ("leaves",)
+
+    def __init__(self, leaves):
+        self.leaves = list(leaves)
+
+
+class Expr:
+    """A lazy, differentiable quantity inside an equation callable.
+
+    Wraps ``fn(leaves) -> array``, a pure function of the leaf coordinate
+    columns (network parameters are closed over as traced values).  Supports
+    the full numeric operator protocol; mixing with plain arrays/scalars
+    treats them as constants with respect to the leaves.
+
+    Raw ``jnp.*`` functions do NOT accept ``Expr`` objects (JAX >= 0.9 rejects
+    duck-typed array conversion under trace) — use the symbolic math wrappers
+    exported from ``pydens_tpu`` (``sin``, ``cos``, ``exp``, ...) or
+    :func:`lift` instead; they behave identically on plain arrays and keep
+    expressions differentiable, so ``D(cos(x) * f, x)`` applies the full
+    product rule.  ``.value`` materializes the current (traced) array when a
+    non-differentiable escape hatch is needed.
+    """
+
+    __slots__ = ("fn", "ctx", "leaf_index", "_value", "_has_value")
+
+    def __init__(self, fn, ctx, leaf_index=None):
+        self.fn = fn
+        self.ctx = ctx
+        self.leaf_index = leaf_index
+        self._value = None
+        self._has_value = False
+
+    # -- evaluation ---------------------------------------------------------
+    @property
+    def value(self):
+        if not self._has_value:
+            self._value = self.fn(self.ctx.leaves)
+            self._has_value = True
+        return self._value
+
+    @property
+    def shape(self):
+        return jnp.shape(self.value)
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.value)
+
+    def __repr__(self):
+        # jnp.* functions reject Expr operands with "Argument <repr> ... is
+        # not a valid JAX type"; make that repr carry the fix.
+        return ("Expr(a pydens_tpu symbolic expression — raw jnp.* math "
+                "cannot consume it; use the symbolic twins exported from "
+                "pydens_tpu, e.g. pydens_tpu.cos instead of jnp.cos, or "
+                "wrap your function with pydens_tpu.lift)")
+
+    # -- algebra ------------------------------------------------------------
+    def _unary(self, op):
+        fn = self.fn
+        return Expr(lambda ls: op(fn(ls)), self.ctx)
+
+    def _binary(self, other, op, reflected=False):
+        fn = self.fn
+        if isinstance(other, Expr):
+            ofn = other.fn
+            if reflected:
+                return Expr(lambda ls: op(ofn(ls), fn(ls)), self.ctx)
+            return Expr(lambda ls: op(fn(ls), ofn(ls)), self.ctx)
+        # Constant w.r.t. the leaves (python number, np/jnp array, tracer).
+        if reflected:
+            return Expr(lambda ls: op(other, fn(ls)), self.ctx)
+        return Expr(lambda ls: op(fn(ls), other), self.ctx)
+
+    def __add__(self, o):
+        return self._binary(o, jnp.add)
+
+    def __radd__(self, o):
+        return self._binary(o, jnp.add, reflected=True)
+
+    def __sub__(self, o):
+        return self._binary(o, jnp.subtract)
+
+    def __rsub__(self, o):
+        return self._binary(o, jnp.subtract, reflected=True)
+
+    def __mul__(self, o):
+        return self._binary(o, jnp.multiply)
+
+    def __rmul__(self, o):
+        return self._binary(o, jnp.multiply, reflected=True)
+
+    def __truediv__(self, o):
+        return self._binary(o, jnp.divide)
+
+    def __rtruediv__(self, o):
+        return self._binary(o, jnp.divide, reflected=True)
+
+    def __pow__(self, o):
+        return self._binary(o, jnp.power)
+
+    def __rpow__(self, o):
+        return self._binary(o, jnp.power, reflected=True)
+
+    def __mod__(self, o):
+        return self._binary(o, jnp.mod)
+
+    def __matmul__(self, o):
+        return self._binary(o, jnp.matmul)
+
+    def __neg__(self):
+        return self._unary(jnp.negative)
+
+    def __pos__(self):
+        return self
+
+    def __abs__(self):
+        return self._unary(jnp.abs)
+
+    def __getitem__(self, idx):
+        return self._unary(lambda v: v[idx])
+
+    # Comparisons materialize — they are not differentiable anyway.
+    def __lt__(self, o):
+        return self.value < _materialize(o)
+
+    def __le__(self, o):
+        return self.value <= _materialize(o)
+
+    def __gt__(self, o):
+        return self.value > _materialize(o)
+
+    def __ge__(self, o):
+        return self.value >= _materialize(o)
+
+
+def _materialize(x):
+    return x.value if isinstance(x, Expr) else x
+
+
+def as_array(x):
+    """Evaluate ``x`` to a concrete (traced) array: Expr -> value, else as-is."""
+    return jnp.asarray(x.value) if isinstance(x, Expr) else jnp.asarray(x)
+
+
+def lift(jfn):
+    """Wrap any jnp-compatible function so it stays symbolic on :class:`Expr` args.
+
+    ``lift(jnp.cos)(x)`` behaves like ``jnp.cos`` on arrays but returns a
+    differentiable ``Expr`` when any positional argument is an ``Expr``.
+    Keyword arguments are treated as constants.
+    """
+
+    def wrapped(*args, **kwargs):
+        ctx = None
+        for a in args:
+            if isinstance(a, Expr):
+                ctx = a.ctx
+                break
+        if ctx is None:
+            return jfn(*args, **kwargs)
+
+        def fn(ls):
+            vals = [a.fn(ls) if isinstance(a, Expr) else a for a in args]
+            return jfn(*vals, **kwargs)
+
+        return Expr(fn, ctx)
+
+    wrapped.__name__ = getattr(jfn, "__name__", "lifted")
+    wrapped.__doc__ = f"Symbolic (Expr-aware) version of {wrapped.__name__}."
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# D token
+# ---------------------------------------------------------------------------
+
+def D(y, x):
+    """Differentiation token: per-point partial derivative of ``y`` w.r.t. ``x``.
+
+    Equivalent to the reference's
+    ``grad(y.sum(), x, retain_graph=True, create_graph=True)[0]``
+    (``/root/reference/pydens/model_torch.py:174-178``) but implemented as a
+    forward-mode (``jax.jvp``) tap with a one-hot-column tangent, which is
+    exact for batch-diagonal (row-wise) functions and composes to arbitrary
+    order: ``D(D(f, x), x)`` is a second-order forward tap.
+
+    Parameters
+    ----------
+    y : Expr
+        Quantity built from the equation's field/coordinate symbols.
+    x : Expr
+        One of the coordinate symbols passed into the equation callable.
+    """
+    if not isinstance(x, Expr) or x.leaf_index is None:
+        raise TypeError(
+            "D(y, x): `x` must be one of the coordinate symbols passed into "
+            "the equation callable (got {!r}). Differentiation is only defined "
+            "w.r.t. the sampled coordinates/parameters.".format(type(x))
+        )
+    if not isinstance(y, Expr):
+        raise TypeError(
+            "D(y, x): `y` must be a differentiable expression built from the "
+            "equation's field `f` and coordinate symbols (got {!r}). A raw "
+            "array has lost its dependence on the coordinates — use the "
+            "symbolic math functions from `pydens_tpu` (sin, cos, exp, ...) "
+            "or `pydens_tpu.lift` to keep subexpressions "
+            "differentiable.".format(type(y))
+        )
+
+    k = x.leaf_index
+    fn = y.fn
+
+    def dfn(ls):
+        ls = list(ls)
+        tangents = [jnp.zeros_like(l) for l in ls]
+        tangents[k] = jnp.ones_like(ls[k])
+        return jax.jvp(fn, (ls,), (tangents,))[1]
+
+    return Expr(dfn, y.ctx)
+
+
+# ---------------------------------------------------------------------------
+# V token
+# ---------------------------------------------------------------------------
+
+_VAR_SCOPES = []  # stack of (mode, store)
+
+
+@contextlib.contextmanager
+def variable_scope(mode, store):
+    """Scope under which ``V`` resolves.
+
+    ``mode='create'``: first use of a name registers its initial value in
+    ``store`` (a plain dict) — this is the rebuild's analogue of the
+    reference's fake run (``model_torch.py:319-325``).
+    ``mode='read'``: names resolve to the (traced) arrays in ``store``; unknown
+    names are an error.
+    """
+    if mode not in ("create", "read"):
+        raise ValueError(f"unknown variable scope mode {mode!r}")
+    _VAR_SCOPES.append((mode, store))
+    try:
+        yield store
+    finally:
+        _VAR_SCOPES.pop()
+
+
+def _to_initial_value(data):
+    """Convert user-supplied initial data (number, list, np array, torch
+    tensor) to a float32 numpy array."""
+    if hasattr(data, "detach"):  # torch tensor — migration convenience
+        data = data.detach().cpu().numpy()
+    return np.asarray(data, dtype=np.float32)
+
+
+def V(name, *args, **kwargs):
+    """Trainable-variable token.
+
+    Mirrors the reference (``model_torch.py:180-188``): on first use (during
+    the Solver's init-time discovery run) creates the variable from the given
+    initial data; afterwards returns the current (traced) value from the
+    parameter pytree, so the optimizer trains it.
+
+    Accepted signatures (all reference spellings):
+    ``V('a', data=jnp.array([3.0]))``, ``V('a', 3.0)``,
+    ``V('a', data=torch.Tensor([3.0]), requires_grad=True)``.
+    """
+    if not _VAR_SCOPES:
+        raise RuntimeError(
+            "V token used outside of a Solver context. V only works inside "
+            "equation/constraint/initial-condition callables evaluated by a "
+            "Solver."
+        )
+    mode, store = _VAR_SCOPES[-1]
+    if mode == "create":
+        if name not in store:
+            data = kwargs.get("data", args[0] if args else None)
+            if data is None:
+                raise ValueError(
+                    f"V({name!r}): an initial value is required on first use, "
+                    "e.g. V({!r}, data=jnp.array([1.0]))".format(name)
+                )
+            store[name] = _to_initial_value(data)
+        return jnp.asarray(store[name])
+    # read
+    if name not in store:
+        raise KeyError(
+            f"V({name!r}): variable was not created during Solver "
+            "initialization. Variables must be reachable from the equation, "
+            "constraints or initial condition at Solver construction time."
+        )
+    return store[name]

@@ -1,0 +1,5 @@
+"""Parallelism: device meshes and shardings for data-parallel training."""
+
+from .mesh import make_mesh, batch_sharding, replicated
+
+__all__ = ["make_mesh", "batch_sharding", "replicated"]

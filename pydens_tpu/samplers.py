@@ -1,0 +1,409 @@
+"""Point samplers — the rebuild of the batchflow sampler suite that the
+reference star-exports as its public API
+(``/root/reference/pydens/__init__.py:5``; consumed surface at
+``/root/reference/pydens/model_torch.py:433-434``).
+
+Required protocol (reference docstring ``model_torch.py:376-380``):
+``sampler.sample(size) -> np.ndarray`` of shape ``(size, ndims)``, plus the
+``&`` product operator joining samplers into higher-dimensional joint
+samplers (``README.md:82``).
+
+TPU-native addition: every built-in sampler also implements
+``sample_device(key, size) -> jnp.ndarray``, a stateless ``jax.random`` path
+the Solver uses *inside* the jitted training scan, so collocation points are
+generated in HBM and the fit loop never touches the host.  User-defined
+samplers that only implement the host protocol still work — the Solver
+pre-samples on the host and ships one batch array per fit chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Sampler", "NumpySampler", "ConstantSampler", "HistoSampler",
+           "ScipySampler", "ProductSampler", "MixtureSampler", "NS"]
+
+
+class Sampler:
+    """Base sampler.
+
+    Subclasses set ``ndims`` and implement :meth:`sample` (host, numpy) and
+    optionally :meth:`sample_device` (device, jax.random).
+
+    Composition:
+
+    * ``a & b`` — product: joint sampler over ``a.ndims + b.ndims`` columns.
+    * ``a | b`` — mixture: rows drawn from ``a`` or ``b`` (weights via
+      ``w * sampler``).
+    * ``w * sampler`` (scalar) — re-weights a mixture component.
+    * ``sampler.apply(fn)`` — host-side transform of sampled points.
+    """
+
+    ndims = 1
+    weight = 1.0
+
+    # -- protocol -----------------------------------------------------------
+    def sample(self, size):
+        raise NotImplementedError
+
+    def sample_device(self, key, size):
+        raise NotImplementedError(
+            f"{type(self).__name__} has no device-side sampling path")
+
+    @property
+    def supports_device(self):
+        return type(self).sample_device is not Sampler.sample_device
+
+    # -- composition --------------------------------------------------------
+    def __and__(self, other):
+        return ProductSampler(self, other)
+
+    def __or__(self, other):
+        return MixtureSampler([self, other])
+
+    def __mul__(self, w):
+        if isinstance(w, (int, float)):
+            return _Weighted(self, float(w))
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def apply(self, fn):
+        """Host-side pointwise transform: ``fn(points) -> points``."""
+        return MappedSampler(self, fn)
+
+    def truncate(self, low=None, high=None, max_tries=100):
+        """Rejection-resample until all coordinates fall in ``[low, high]``.
+        Host-only (rejection loops are data-dependent and do not jit)."""
+        return TruncatedSampler(self, low, high, max_tries)
+
+
+class _Weighted(Sampler):
+    """Internal: a sampler with a mixture weight attached."""
+
+    def __init__(self, base, weight):
+        self.base = base
+        self.ndims = base.ndims
+        self.weight = weight
+
+    def sample(self, size):
+        return self.base.sample(size)
+
+    def sample_device(self, key, size):
+        return self.base.sample_device(key, size)
+
+    @property
+    def supports_device(self):
+        return self.base.supports_device
+
+
+# ---------------------------------------------------------------------------
+# Distribution registry
+# ---------------------------------------------------------------------------
+
+def _u_host(rng, size, dim, low, high):
+    return rng.uniform(low, high, (size, dim))
+
+
+def _u_dev(key, size, dim, low, high):
+    return jax.random.uniform(key, (size, dim), jnp.float32, low, high)
+
+
+def _n_host(rng, size, dim, loc, scale):
+    return rng.normal(loc, scale, (size, dim))
+
+
+def _n_dev(key, size, dim, loc, scale):
+    return jax.random.normal(key, (size, dim), jnp.float32) * scale + loc
+
+
+def _e_host(rng, size, dim, scale):
+    return rng.exponential(scale, (size, dim))
+
+
+def _e_dev(key, size, dim, scale):
+    return jax.random.exponential(key, (size, dim), jnp.float32) * scale
+
+
+def _b_host(rng, size, dim, a, b):
+    return rng.beta(a, b, (size, dim))
+
+
+def _b_dev(key, size, dim, a, b):
+    return jax.random.beta(key, a, b, (size, dim), jnp.float32)
+
+
+def _g_host(rng, size, dim, shape, scale):
+    return rng.gamma(shape, scale, (size, dim))
+
+
+def _g_dev(key, size, dim, shape, scale):
+    return jax.random.gamma(key, shape, (size, dim), jnp.float32) * scale
+
+
+def _ln_host(rng, size, dim, mean, sigma):
+    return rng.lognormal(mean, sigma, (size, dim))
+
+
+def _ln_dev(key, size, dim, mean, sigma):
+    return jnp.exp(jax.random.normal(key, (size, dim), jnp.float32)
+                   * sigma + mean)
+
+
+_DISTRIBUTIONS = {
+    "uniform": (_u_host, _u_dev, {"low": 0.0, "high": 1.0}),
+    "normal": (_n_host, _n_dev, {"loc": 0.0, "scale": 1.0}),
+    "exponential": (_e_host, _e_dev, {"scale": 1.0}),
+    "beta": (_b_host, _b_dev, {"a": 1.0, "b": 1.0}),
+    "gamma": (_g_host, _g_dev, {"shape": 1.0, "scale": 1.0}),
+    "lognormal": (_ln_host, _ln_dev, {"mean": 0.0, "sigma": 1.0}),
+}
+
+_ALIASES = {
+    "u": "uniform",
+    "n": "normal",
+    "gaussian": "normal",
+    "e": "exponential",
+    "b": "beta",
+    "g": "gamma",
+    "ln": "lognormal",
+}
+
+
+class NumpySampler(Sampler):
+    """Sampler over a named distribution, matching the batchflow usage in the
+    reference docs: ``NumpySampler('uniform', low=1, high=5)``
+    (``README.md:82``), ``NumpySampler('u', dim=2)`` (tutorial cell 39).
+
+    Parameters
+    ----------
+    name : str
+        Distribution name or alias: ``'u'/'uniform'``, ``'n'/'normal'``,
+        ``'e'/'exponential'``, ``'b'/'beta'``, ``'g'/'gamma'``,
+        ``'ln'/'lognormal'``.
+    dim : int
+        Number of i.i.d. output columns.
+    seed : int, optional
+        Host-side RNG seed (device path is keyed by the Solver).
+    **kwargs
+        Distribution parameters (e.g. ``low``/``high``, ``loc``/``scale``).
+    """
+
+    def __init__(self, name, dim=1, seed=None, **kwargs):
+        canonical = _ALIASES.get(name, name)
+        if canonical not in _DISTRIBUTIONS:
+            raise ValueError(
+                f"unknown distribution {name!r}; known: "
+                f"{sorted(_DISTRIBUTIONS) + sorted(_ALIASES)}")
+        host_fn, dev_fn, defaults = _DISTRIBUTIONS[canonical]
+        unknown = set(kwargs) - set(defaults)
+        if unknown:
+            raise ValueError(f"{canonical} sampler got unexpected "
+                             f"parameters {sorted(unknown)}; "
+                             f"accepts {sorted(defaults)}")
+        self.name = canonical
+        self.ndims = int(dim)
+        self.params = {**defaults, **kwargs}
+        self._host_fn = host_fn
+        self._dev_fn = dev_fn
+        self._rng = np.random.default_rng(seed)
+
+    def sample(self, size):
+        return self._host_fn(self._rng, size, self.ndims, **self.params)
+
+    def sample_device(self, key, size):
+        return self._dev_fn(key, size, self.ndims, **self.params)
+
+
+NS = NumpySampler  # tutorial shorthand (`from pydens import NumpySampler as NS`)
+
+
+class ConstantSampler(Sampler):
+    """Sampler returning a constant point (batchflow ``ConstantSampler``)."""
+
+    def __init__(self, constant):
+        self.constant = np.atleast_1d(np.asarray(constant, np.float32))
+        self.ndims = self.constant.shape[-1]
+
+    def sample(self, size):
+        return np.tile(self.constant.reshape(1, -1), (size, 1))
+
+    def sample_device(self, key, size):
+        return jnp.tile(jnp.asarray(self.constant).reshape(1, -1), (size, 1))
+
+
+class ScipySampler(Sampler):
+    """Sampler over a ``scipy.stats`` distribution (host-only)."""
+
+    def __init__(self, name, dim=1, seed=None, **kwargs):
+        import scipy.stats
+        self.dist = getattr(scipy.stats, name)(**kwargs)
+        self.ndims = int(dim)
+        self._rng = np.random.default_rng(seed)
+
+    def sample(self, size):
+        out = self.dist.rvs(size=(size, self.ndims),
+                            random_state=self._rng)
+        return np.asarray(out, np.float64).reshape(size, self.ndims)
+
+
+class HistoSampler(Sampler):
+    """Sampler from an n-d histogram: pick a bin by its mass, then sample
+    uniformly inside it (batchflow ``HistoSampler``).
+
+    Parameters
+    ----------
+    histo : tuple
+        ``(H, edges)`` as returned by ``np.histogramdd``.
+    """
+
+    def __init__(self, histo, seed=None):
+        counts, edges = histo
+        counts = np.asarray(counts, np.float64)
+        self.edges = [np.asarray(e, np.float64) for e in edges]
+        self.ndims = counts.ndim
+        total = counts.sum()
+        if total <= 0:
+            raise ValueError("histogram has no mass")
+        self.probs = (counts / total).ravel()
+        self.bin_shape = counts.shape
+        self._rng = np.random.default_rng(seed)
+        # Precompute per-flat-bin lower corners and widths for device path.
+        idx = np.stack(np.unravel_index(np.arange(self.probs.size),
+                                        self.bin_shape), axis=-1)
+        self._lo = np.stack([self.edges[d][idx[:, d]]
+                             for d in range(self.ndims)], axis=-1)
+        self._hi = np.stack([self.edges[d][idx[:, d] + 1]
+                             for d in range(self.ndims)], axis=-1)
+
+    def sample(self, size):
+        flat = self._rng.choice(self.probs.size, size=size, p=self.probs)
+        u = self._rng.uniform(size=(size, self.ndims))
+        return self._lo[flat] + u * (self._hi[flat] - self._lo[flat])
+
+    def sample_device(self, key, size):
+        k1, k2 = jax.random.split(key)
+        logits = jnp.log(jnp.asarray(self.probs, jnp.float32) + 1e-30)
+        flat = jax.random.categorical(k1, logits, shape=(size,))
+        u = jax.random.uniform(k2, (size, self.ndims))
+        lo = jnp.asarray(self._lo, jnp.float32)[flat]
+        hi = jnp.asarray(self._hi, jnp.float32)[flat]
+        return lo + u * (hi - lo)
+
+
+class ProductSampler(Sampler):
+    """Joint sampler over concatenated columns — the ``&`` operator
+    (``README.md:82``: ``NumpySampler('uniform') & NumpySampler('uniform',
+    low=1, high=5)``)."""
+
+    def __init__(self, *samplers):
+        flat = []
+        for s in samplers:
+            if isinstance(s, ProductSampler):
+                flat.extend(s.samplers)
+            else:
+                flat.append(s)
+        self.samplers = flat
+        self.ndims = sum(s.ndims for s in flat)
+
+    def sample(self, size):
+        return np.hstack([s.sample(size) for s in self.samplers])
+
+    def sample_device(self, key, size):
+        keys = jax.random.split(key, len(self.samplers))
+        return jnp.hstack([s.sample_device(k, size)
+                           for s, k in zip(self.samplers, keys)])
+
+    @property
+    def supports_device(self):
+        return all(s.supports_device for s in self.samplers)
+
+
+class MixtureSampler(Sampler):
+    """Row-wise mixture — the ``|`` operator; component weights come from
+    ``w * sampler``."""
+
+    def __init__(self, samplers):
+        flat = []
+        for s in samplers:
+            if isinstance(s, MixtureSampler):
+                flat.extend(s.samplers)
+            else:
+                flat.append(s)
+        self.samplers = flat
+        dims = {s.ndims for s in flat}
+        if len(dims) != 1:
+            raise ValueError(f"mixture components must share ndims, got {dims}")
+        self.ndims = dims.pop()
+        w = np.asarray([s.weight for s in flat], np.float64)
+        self.weights = w / w.sum()
+
+    def sample(self, size):
+        rng = np.random.default_rng()
+        comp = rng.choice(len(self.samplers), size=size, p=self.weights)
+        out = np.empty((size, self.ndims), np.float64)
+        for i, s in enumerate(self.samplers):
+            mask = comp == i
+            n = int(mask.sum())
+            if n:
+                out[mask] = s.sample(n)
+        return out
+
+    def sample_device(self, key, size):
+        keys = jax.random.split(key, len(self.samplers) + 1)
+        logits = jnp.log(jnp.asarray(self.weights, jnp.float32))
+        comp = jax.random.categorical(keys[0], logits, shape=(size,))
+        draws = jnp.stack([s.sample_device(k, size)
+                           for s, k in zip(self.samplers, keys[1:])])
+        return jnp.take_along_axis(
+            draws, comp[None, :, None].astype(jnp.int32), axis=0)[0]
+
+    @property
+    def supports_device(self):
+        return all(s.supports_device for s in self.samplers)
+
+
+class MappedSampler(Sampler):
+    """Host-side pointwise transform of another sampler."""
+
+    def __init__(self, base, fn):
+        self.base = base
+        self.fn = fn
+        self.ndims = base.ndims
+
+    def sample(self, size):
+        out = np.asarray(self.fn(self.base.sample(size)))
+        self.ndims = out.shape[-1]
+        return out
+
+
+class TruncatedSampler(Sampler):
+    """Rejection-resampling truncation of another sampler (host-only)."""
+
+    def __init__(self, base, low, high, max_tries=100):
+        self.base = base
+        self.low = low
+        self.high = high
+        self.max_tries = max_tries
+        self.ndims = base.ndims
+
+    def _ok(self, pts):
+        ok = np.ones(len(pts), bool)
+        if self.low is not None:
+            ok &= np.all(pts >= self.low, axis=1)
+        if self.high is not None:
+            ok &= np.all(pts <= self.high, axis=1)
+        return ok
+
+    def sample(self, size):
+        out = np.empty((0, self.ndims), np.float64)
+        for _ in range(self.max_tries):
+            pts = self.base.sample(size)
+            out = np.vstack([out, pts[self._ok(pts)]])
+            if len(out) >= size:
+                return out[:size]
+        raise RuntimeError(
+            f"truncate: {self.max_tries} rounds of rejection sampling did "
+            "not produce enough in-range points")

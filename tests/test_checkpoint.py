@@ -1,0 +1,72 @@
+"""Checkpoint/resume tests (superset of the reference, which has no
+persistence — SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D, V
+
+
+def _ode(f, x):
+    return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+
+def test_save_load_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.msgpack")
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    s1.fit(niters=100, batch_size=128, progress=False)
+    preds = s1.predict(np.linspace(0, 1, 10))
+    s1.save(path)
+
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, seed=1)
+    s2.load(path)
+    np.testing.assert_allclose(s2.predict(np.linspace(0, 1, 10)), preds,
+                               rtol=1e-6)
+    assert len(s2.losses) == 100
+
+
+def test_resume_training_continues(tmp_path):
+    path = str(tmp_path / "ckpt.msgpack")
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    s1.fit(niters=150, batch_size=128, progress=False)
+    s1.save(path)
+
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, seed=2)
+    s2.load(path)
+    s2.fit(niters=100, batch_size=128, progress=False)
+    assert len(s2.losses) == 250
+    assert s2.losses[-1] < s2.losses[0]
+
+
+def test_checkpoint_preserves_v_variables(tmp_path):
+    path = str(tmp_path / "ckpt.msgpack")
+
+    def odevar(f, x):
+        return D(f, x) + V("c", data=np.array([1.5]))
+
+    s1 = Solver(odevar, ndims=1, seed=0)
+    s1.fit(niters=20, batch_size=32, progress=False)
+    v = np.asarray(s1.params["variables"]["c"]).copy()
+    s1.save(path)
+
+    s2 = Solver(odevar, ndims=1, seed=3)
+    s2.load(path)
+    np.testing.assert_allclose(np.asarray(s2.params["variables"]["c"]), v)
+
+
+def test_mismatched_config_rejected(tmp_path):
+    path = str(tmp_path / "ckpt.msgpack")
+    s1 = Solver(_ode, ndims=1, seed=0)
+    s1.save(path)
+    s2 = Solver(_ode, ndims=1, features=[7, 7, 1], layout="fafaf", seed=0)
+    with pytest.raises(ValueError, match="does not match"):
+        s2.load(path)
+
+
+def test_bad_file_rejected(tmp_path):
+    path = tmp_path / "junk.bin"
+    path.write_bytes(b"not a checkpoint")
+    s = Solver(_ode, ndims=1, seed=0)
+    with pytest.raises(ValueError, match="not a pydens_tpu checkpoint"):
+        s.load(str(path))
