@@ -1,0 +1,144 @@
+"""Benchmark: the reference's headline workload — 2D Poisson, README config
+(``/root/reference/README.md:35-53``): ``fit(batch_size=100, niters=1500)``
+on a ``'fa fa fa f'`` Tanh MLP with units ``[10, 12, 15, 1]`` and
+``boundary_condition=1``.
+
+Measures warm (post-compile) wall-clock and iterations/second of the full
+training loop on the default JAX backend (TPU under axon; CPU if forced), and
+compares against a faithful torch-CPU re-implementation of the reference's
+training loop (the reference itself needs batchflow, which is not installed;
+the baseline loop reproduces its per-iteration semantics: per-coordinate leaf
+tensors, nested autograd.grad residual, fresh Adam, MSE to zero —
+``/root/reference/pydens/model_torch.py:364-464``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NITERS = 1500
+BATCH = 100
+TORCH_PROBE_ITERS = 300
+
+
+def bench_pydens_tpu():
+    import pydens_tpu as pdt
+    from pydens_tpu import Solver, D
+
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y) - 5 * pdt.sin(np.pi * (x + y))
+
+    solver = Solver(pde, ndims=2, boundary_condition=1,
+                    layout="fa fa fa f", activation="Tanh",
+                    units=[10, 12, 15, 1], seed=0)
+    # Warm-up: compiles the one step executable for this config.
+    solver.fit(batch_size=BATCH, niters=NITERS, progress=False)
+    warm_loss = float(solver.losses[-1])
+
+    # Timed: fresh parameters, warm compile cache — the production path.
+    times = []
+    for rep in range(3):
+        solver.reset(seed=rep + 1)
+        t0 = time.perf_counter()
+        solver.fit(batch_size=BATCH, niters=NITERS, progress=False)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return best, NITERS / best, float(solver.losses[-1]), warm_loss
+
+
+def bench_torch_reference():
+    """Reference-semantics torch loop (CPU), probed for TORCH_PROBE_ITERS
+    iterations and extrapolated to a rate."""
+    import torch
+    from torch import nn
+
+    torch.manual_seed(0)
+    layers = []
+    dims = [2, 10, 12, 15, 1]
+    for i in range(4):
+        layers.append(nn.Linear(dims[i], dims[i + 1]))
+        if i < 3:
+            layers.append(nn.Tanh())
+    net = nn.Sequential(*layers)
+
+    def forward(xs_concat):
+        u = net(xs_concat)
+        x_sp = xs_concat
+        shape = (torch.prod(x_sp, dim=1, keepdim=True)
+                 * torch.prod(1 - x_sp, dim=1, keepdim=True))
+        return u * shape + 1.0
+
+    opt = torch.optim.Adam(net.parameters(), lr=0.005)
+    crit = nn.MSELoss()
+
+    def step():
+        opt.zero_grad()
+        xs = [torch.rand((BATCH, 1), requires_grad=True) for _ in range(2)]
+        u = forward(torch.cat(xs, dim=1))
+        res = u
+        lap = 0
+        for x in xs:
+            g = torch.autograd.grad(res.sum(), x, create_graph=True,
+                                    retain_graph=True)[0]
+            g2 = torch.autograd.grad(g.sum(), x, create_graph=True,
+                                     retain_graph=True)[0]
+            lap = lap + g2
+        rhs = 5 * torch.sin(np.pi * (xs[0] + xs[1]))
+        loss = crit(lap - rhs, torch.zeros_like(xs[0]))
+        loss.backward()
+        opt.step()
+        return loss.item()
+
+    for _ in range(10):  # warm-up
+        step()
+    t0 = time.perf_counter()
+    for _ in range(TORCH_PROBE_ITERS):
+        last = step()
+    dt = time.perf_counter() - t0
+    rate = TORCH_PROBE_ITERS / dt
+    return rate, NITERS / rate, last
+
+
+def main():
+    backend = "unknown"
+    try:
+        import jax
+        backend = jax.devices()[0].platform
+    except Exception:
+        pass
+
+    wall, rate, loss, warm_loss = bench_pydens_tpu()
+
+    baseline_rate = None
+    vs_baseline = None
+    if os.environ.get("BENCH_SKIP_TORCH") != "1":
+        try:
+            baseline_rate, baseline_wall, baseline_loss = \
+                bench_torch_reference()
+            vs_baseline = rate / baseline_rate
+        except Exception as err:  # torch missing/broken — report jax side
+            print(f"# torch baseline failed: {err}", file=sys.stderr)
+
+    result = {
+        "metric": "poisson2d_readme_train_throughput",
+        "value": round(rate, 1),
+        "unit": "iters/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "wall_clock_s": round(wall, 4),
+        "final_loss": round(loss, 6),
+        "backend": backend,
+        "baseline_iters_per_sec": round(baseline_rate, 1)
+        if baseline_rate else None,
+        "config": f"batch {BATCH}, {NITERS} iters, 'fa fa fa f' Tanh "
+                  f"[10,12,15,1], bc=1",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

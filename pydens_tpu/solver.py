@@ -153,6 +153,7 @@ class Solver:
             jax.eval_shape(_discover, params, dummy)
         params["variables"] = {name: jnp.asarray(value, dtype)
                                for name, value in registry.items()}
+        self._initial_variables = dict(registry)
         self.model.params = params
 
     # -- public state -------------------------------------------------------
@@ -160,6 +161,26 @@ class Solver:
     def params(self):
         """The full parameter pytree (net + log_scale + V variables)."""
         return self.model.params
+
+    def reset(self, seed=None):
+        """Re-initialize parameters and V variables, clear the loss history
+        and optimizer state — but keep compiled step functions, so a
+        subsequent ``fit`` with the same configuration runs without
+        recompiling.  Useful for restarts and benchmarking."""
+        if seed is not None:
+            self._key = jax.random.key(seed)
+        init_key, self._key = jax.random.split(self._key)
+        old = self.model.params
+        fresh = self.model.init_params(init_key)
+        fresh["variables"] = {
+            name: jnp.asarray(self._initial_variables[name], self.model.dtype)
+            for name in old["variables"]}
+        self.model.params = fresh
+        self.losses = []
+        self._opt_state = None
+        self._opt = None
+        self._step_counter = 0
+        return self
 
     @property
     def optimizer(self):
