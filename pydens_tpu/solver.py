@@ -338,30 +338,33 @@ class Solver:
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
 
-        def get_leaves(base_key, global_idx, host_pts, i):
-            if device_sampling:
-                step_key = jax.random.fold_in(base_key, global_idx)
-                if sampler is None:
-                    # Reference parity quirk: the default sampler is U(0,1)
-                    # per dim and IGNORES `domain` (model_torch.py:431).
-                    pts = jax.random.uniform(step_key, (batch_size, total),
-                                             dtype)
-                else:
-                    pts = sampler.sample_device(step_key, batch_size)
-                    pts = jnp.asarray(pts, dtype)
-            else:
-                pts = host_pts[i]  # pre-sampled (chunk, batch, total) buffer
-            if mesh is not None:
-                pts = jax.lax.with_sharding_constraint(pts, batch_sharding)
-            return [pts[:, i_:i_ + 1] for i_ in range(total)]
-
         def run_chunk(carry, base_key, start, n, host_pts):
             """Run ``n <= chunk`` training steps; returns new carry and a
             ``(chunk,)`` loss buffer whose first ``n`` entries are valid."""
+            if device_sampling:
+                # Sample the whole chunk's collocation points in one RNG op
+                # (one big fused kernel beats `chunk` tiny per-step ones —
+                # per-HLO-op overhead dominates at PINN batch sizes).
+                chunk_key = jax.random.fold_in(base_key, start)
+                if sampler is None:
+                    # Reference parity quirk: the default sampler is U(0,1)
+                    # per dim and IGNORES `domain` (model_torch.py:431).
+                    pts_all = jax.random.uniform(
+                        chunk_key, (chunk, batch_size, total), dtype)
+                else:
+                    pts_all = jnp.asarray(
+                        sampler.sample_device(chunk_key, chunk * batch_size),
+                        dtype).reshape(chunk, batch_size, total)
+            else:
+                pts_all = host_pts  # pre-sampled (chunk, batch, total)
 
             def body(i, state):
                 (params, opt_state), losses = state
-                leaves = get_leaves(base_key, start + i, host_pts, i)
+                pts = pts_all[i]
+                if mesh is not None:
+                    pts = jax.lax.with_sharding_constraint(
+                        pts, batch_sharding)
+                leaves = [pts[:, c:c + 1] for c in range(total)]
                 loss, grads = jax.value_and_grad(loss_fn)(params, leaves)
                 if not all_trainable:
                     grads = jax.tree.map(
