@@ -1,0 +1,39 @@
+"""Examples must run end-to-end — the rebuild's upgraded version of the
+reference's only test (notebook-exec smoke,
+``/root/reference/pydens/tests/pydens_test.py:1-39``): every example script
+executes to completion AND passes its own numeric assertions."""
+
+import importlib.util
+import pathlib
+import sys
+
+import pytest
+
+EXAMPLES = sorted(
+    (pathlib.Path(__file__).parent.parent / "examples").glob("*.py"))
+
+FAST = {"01_simple_ode.py", "05_inverse_problem.py", "06_custom_model.py"}
+
+
+def _run(path):
+    spec = importlib.util.spec_from_file_location(path.stem, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[path.stem] = mod
+    try:
+        spec.loader.exec_module(mod)
+        mod.main()
+    finally:
+        sys.modules.pop(path.stem, None)
+
+
+@pytest.mark.parametrize("path", [p for p in EXAMPLES if p.name in FAST],
+                         ids=lambda p: p.name)
+def test_example_fast(path):
+    _run(path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", [p for p in EXAMPLES if p.name not in FAST],
+                         ids=lambda p: p.name)
+def test_example_slow(path):
+    _run(path)
