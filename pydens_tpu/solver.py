@@ -126,6 +126,7 @@ class Solver:
         self._step_counter = 0
         self._opt = None
         self._opt_state = None
+        self._opt_needs_value_fn = False
         self._opt_cache = {}
         self._step_cache = {}
 
@@ -346,7 +347,7 @@ class Solver:
         """
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
-               cfg["sampler_key"],
+               cfg["sampler_key"], cfg["resample"],
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]
@@ -361,6 +362,8 @@ class Solver:
         dtype = self.model.dtype
         sampler = cfg["sampler"]
         device_sampling = cfg["sampler_key"] != "host"
+        resample = cfg["resample"]
+        needs_value_fn = cfg["needs_value_fn"]
         mesh = self.mesh
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
@@ -379,22 +382,27 @@ class Solver:
         def run_chunk(carry, base_key, start, n, host_pts):
             """Run ``n <= chunk`` training steps; returns new carry and a
             ``(chunk,)`` loss buffer whose first ``n`` entries are valid."""
+            n_batches = chunk if resample else 1
             if device_sampling:
                 # Sample the whole chunk's collocation points in one RNG op
                 # (one big fused kernel beats `chunk` tiny per-step ones —
-                # per-HLO-op overhead dominates at PINN batch sizes).
-                chunk_key = jax.random.fold_in(base_key, start)
+                # per-HLO-op overhead dominates at PINN batch sizes).  With
+                # resample=False a single batch is drawn and reused every
+                # iteration (full-batch training, e.g. for L-BFGS).
+                chunk_key = jax.random.fold_in(base_key, 0 if not resample
+                                               else start)
                 if sampler is None:
                     # Reference parity quirk: the default sampler is U(0,1)
                     # per dim and IGNORES `domain` (model_torch.py:431).
                     pts_all = jax.random.uniform(
-                        chunk_key, (chunk, batch_size, total), dtype)
+                        chunk_key, (n_batches, batch_size, total), dtype)
                 else:
                     pts_all = jnp.asarray(
-                        sampler.sample_device(chunk_key, chunk * batch_size),
-                        dtype).reshape(chunk, batch_size, total)
+                        sampler.sample_device(chunk_key,
+                                              n_batches * batch_size),
+                        dtype).reshape(n_batches, batch_size, total)
             else:
-                pts_all = host_pts  # pre-sampled (chunk, batch, total)
+                pts_all = host_pts  # pre-sampled (n_batches, batch, total)
 
             if not all_trainable:
                 mask_vec = _flatten_tree(
@@ -404,7 +412,7 @@ class Solver:
 
             def body(i, state):
                 (theta, opt_state), losses = state
-                pts = pts_all[i]
+                pts = pts_all[i] if resample else pts_all[0]
                 if mesh is not None:
                     pts = jax.lax.with_sharding_constraint(
                         pts, batch_sharding)
@@ -412,7 +420,14 @@ class Solver:
                 loss, grad = jax.value_and_grad(flat_loss)(theta, leaves)
                 if not all_trainable:
                     grad = grad * mask_vec
-                updates, opt_state = opt.update(grad, opt_state, theta)
+                if needs_value_fn:
+                    # Linesearch optimizers (L-BFGS) re-evaluate the loss at
+                    # trial points along the search direction.
+                    updates, opt_state = opt.update(
+                        grad, opt_state, theta, value=loss, grad=grad,
+                        value_fn=lambda th: flat_loss(th, leaves))
+                else:
+                    updates, opt_state = opt.update(grad, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
                 return (theta, opt_state), losses.at[i].set(loss)
 
@@ -433,7 +448,8 @@ class Solver:
 
     def fit(self, niters, batch_size, sampler=None, loss_terms="equation",
             optimizer="Adam", criterion="MSELoss", lr=0.005, losses=None,
-            progress="auto", chunk_size=500, profile_dir=None, **kwargs):
+            progress="auto", chunk_size=500, profile_dir=None, resample=True,
+            **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -451,7 +467,10 @@ class Solver:
         over scan chunks; ``chunk_size`` controls how many iterations run per
         device dispatch (larger = less host overhead); ``profile_dir``
         captures a ``jax.profiler`` trace of the whole fit (view with
-        TensorBoard / xprof).
+        TensorBoard / xprof); ``resample=False`` draws ONE collocation batch
+        and reuses it every iteration — full-batch training, the standard
+        companion to ``optimizer='LBFGS'`` for a high-precision finishing
+        phase.
         """
         if losses is not None:
             loss_terms = losses
@@ -470,7 +489,7 @@ class Solver:
             if opt_token not in self._opt_cache:
                 self._opt_cache[opt_token] = resolve_optimizer(
                     optimizer, lr, kwargs)
-            self._opt = self._opt_cache[opt_token]
+            self._opt, self._opt_needs_value_fn = self._opt_cache[opt_token]
         elif self._opt is None:
             raise ValueError("fit(optimizer=None) requires a previous fit "
                              "call that created an optimizer")
@@ -494,7 +513,9 @@ class Solver:
                    opt=self._opt, mask=mask,
                    mask_key=(frozenset(self.model._frozen_layers),
                              frozenset(self.model._frozen_variables)),
-                   sampler=sampler, sampler_key=sampler_key)
+                   sampler=sampler, sampler_key=sampler_key,
+                   resample=bool(resample),
+                   needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
             theta, self._opt_state = prep(self.model.params)
@@ -517,14 +538,23 @@ class Solver:
         profile_ctx = (jax.profiler.trace(profile_dir)
                        if profile_dir else contextlib.nullcontext())
 
+        fixed_host_batch = None
+        if sampler_key == "host" and not resample:
+            pts = sampler.sample(batch_size).astype(np.float32)
+            fixed_host_batch = pts.reshape(1, batch_size, self.model.total)
+
         def run_one_chunk(carry, start):
             n = min(chunk, niters - start)
             if sampler_key == "host":
-                pts = sampler.sample(n * batch_size).astype(np.float32)
-                pts = pts.reshape(n, batch_size, self.model.total)
-                if n < chunk:  # pad to the fixed buffer; padded steps never run
-                    pad = np.zeros((chunk - n,) + pts.shape[1:], np.float32)
-                    pts = np.concatenate([pts, pad], axis=0)
+                if resample:
+                    pts = sampler.sample(n * batch_size).astype(np.float32)
+                    pts = pts.reshape(n, batch_size, self.model.total)
+                    if n < chunk:  # pad the fixed buffer; padded steps never run
+                        pad = np.zeros((chunk - n,) + pts.shape[1:],
+                                       np.float32)
+                        pts = np.concatenate([pts, pad], axis=0)
+                else:
+                    pts = fixed_host_batch
                 if self.mesh is not None:
                     host_pts = jax.device_put(pts, NamedSharding(
                         self.mesh, P(None, self.mesh.axis_names[0], None)))

@@ -66,6 +66,14 @@ def _warn_unused(kwargs):
                       f"{sorted(kwargs)}", stacklevel=3)
 
 
+def _lbfgs(lr, kwargs):
+    memory_size = kwargs.pop("memory_size", kwargs.pop("history_size", 10))
+    _warn_unused(kwargs)
+    # learning_rate=None lets the zoom linesearch pick the step size — the
+    # standard full-batch L-BFGS finishing phase for PINNs.
+    return optax.lbfgs(learning_rate=None, memory_size=memory_size)
+
+
 _OPTIMIZERS = {
     "adam": lambda lr, kw: _adam_family(optax.adam)(lr, kw),
     "adamw": lambda lr, kw: _adam_family(optax.adamw)(lr, kw),
@@ -77,21 +85,27 @@ _OPTIMIZERS = {
     "adagrad": _adagrad,
     "adadelta": _adadelta,
     "lion": _lion,
+    "lbfgs": _lbfgs,
 }
+
+# Optimizers whose optax update() needs (value, grad, value_fn) — i.e. they
+# run a linesearch and must be able to re-evaluate the loss.
+_NEEDS_VALUE_FN = {"lbfgs"}
 
 
 def resolve_optimizer(name, lr, kwargs):
-    """Build an optax GradientTransformation from a torch-style optimizer name.
+    """Build an optax GradientTransformation from a torch-style optimizer
+    name.  Returns ``(transform, needs_value_fn)``.
 
     Also accepts a ready optax ``GradientTransformation`` (passed through) or
     any callable ``f(learning_rate=...) -> GradientTransformation``.
     """
     if isinstance(name, optax.GradientTransformation):
-        return name
+        return name, False
     if callable(name) and not isinstance(name, str):
-        return name(learning_rate=lr, **kwargs)
+        return name(learning_rate=lr, **kwargs), False
     key = str(name).lower()
     if key not in _OPTIMIZERS:
         raise ValueError(f"unknown optimizer {name!r}; "
                          f"known: {sorted(_OPTIMIZERS)}")
-    return _OPTIMIZERS[key](lr, dict(kwargs))
+    return _OPTIMIZERS[key](lr, dict(kwargs)), key in _NEEDS_VALUE_FN
