@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import sys
+import time
 
 import numpy as np
 import jax
@@ -114,6 +115,8 @@ class Solver:
         else:
             self.constraints = (constraints,)
         self.losses = []
+        self.history = []  # one record per fit call (observability superset
+        #                    of the reference's bare `losses` list, SURVEY §5)
         self.mesh = mesh
 
         # Build the model (all kwargs forwarded, as in model_torch.py:312-313).
@@ -198,6 +201,7 @@ class Solver:
         self.model.params = self._init_params_jit(
             init_key, self._initial_variables)
         self.losses = []
+        self.history = []
         self._opt_state = None
         self._opt = None
         self._step_counter = 0
@@ -472,6 +476,7 @@ class Solver:
         companion to ``optimizer='LBFGS'`` for a high-precision finishing
         phase.
         """
+        fit_t0 = time.perf_counter()
         if losses is not None:
             loss_terms = losses
         loss_terms = tuple(loss_terms) if isinstance(
@@ -577,8 +582,20 @@ class Solver:
 
         theta, self._opt_state = carry
         self.model.params = self._unflatten_jit(theta)
-        self.losses.extend(np.concatenate(
-            [np.asarray(l)[:n] for l, n in all_losses]).tolist())
+        fit_losses = np.concatenate(
+            [np.asarray(l)[:n] for l, n in all_losses])
+        self.losses.extend(fit_losses.tolist())
+        self.history.append({
+            "niters": niters, "batch_size": int(batch_size),
+            "optimizer": (optimizer if isinstance(optimizer, str)
+                          else "reused" if optimizer is None
+                          else type(optimizer).__name__),
+            "lr": lr, "loss_terms": list(loss_terms),
+            "resample": bool(resample),
+            "wall_time_s": time.perf_counter() - fit_t0,
+            "first_loss": float(fit_losses[0]),
+            "final_loss": float(fit_losses[-1]),
+        })
         return self
 
     # ------------------------------------------------------------------
