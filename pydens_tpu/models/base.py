@@ -85,6 +85,8 @@ class Model:
         self._frozen_layers = set()
         self._frozen_variables = set()
         self._apply_jit = jax.jit(self._apply_with_variables)
+        self._apply_jit_fused = jax.jit(self._apply_with_variables_fused)
+        self._fused_broken = False
 
     # -- network body (overridden by subclasses) ---------------------------
     def network_init(self, key):
@@ -217,10 +219,33 @@ class Model:
             u = gate * u + ic
         return u
 
+    # -- fused-inference hooks (overridden by ConvBlockModel) ---------------
+    def network_apply_fused(self, net_params, xs):
+        """Fused (Pallas) network forward; base models have none."""
+        raise NotImplementedError
+
+    def _fusion_enabled(self, batch):
+        return False
+
     # -- stateful conveniences ----------------------------------------------
     def _apply_with_variables(self, params, xs):
         with variable_scope("read", params["variables"]):
             return self.apply(params, xs)
+
+    def _apply_with_variables_fused(self, params, xs):
+        with variable_scope("read", params["variables"]):
+            u = self.network_apply_fused(params["net"], xs)
+            return self.anzatc(u, xs, params)
+
+    def predict_apply(self, params, xs):
+        """Jitted inference entry: routes large batches through the fused
+        Pallas chain when available, with transparent fallback."""
+        if not self._fused_broken and self._fusion_enabled(xs.shape[0]):
+            try:
+                return self._apply_jit_fused(params, xs)
+            except Exception:  # Mosaic lowering/runtime issue — fall back
+                self._fused_broken = True
+        return self._apply_jit(params, xs)
 
     def __call__(self, *xs):
         """Evaluate the trained model at host-supplied points (the reference's
@@ -231,7 +256,7 @@ class Model:
             raise RuntimeError("model has no parameters yet — build it "
                                "through a Solver")
         xs_concat = Solver.reshape_and_concat(xs)
-        return self._apply_jit(self.params, jnp.asarray(xs_concat))
+        return self.predict_apply(self.params, jnp.asarray(xs_concat))
 
     forward = __call__
 
@@ -259,12 +284,30 @@ class ConvBlockModel(Model):
         self._net_init, self._net_apply, self.layer_names = \
             make_layout_network(layout, self.features, activation,
                                 in_dim=self.total, dtype=dtype)
+        self._fused_apply = None
 
     def network_init(self, key):
         return self._net_init(key)
 
     def network_apply(self, net_params, xs):
         return self._net_apply(net_params, xs)
+
+    def network_apply_fused(self, net_params, xs):
+        if self._fused_apply is None:
+            from ..ops.pallas_mlp import make_fused_mlp_forward
+            self._fused_apply = make_fused_mlp_forward(
+                self.layout, self._net_apply.activations, self.layer_names)
+        return self._fused_apply(net_params, xs)
+
+    def _fusion_enabled(self, batch):
+        """Whether inference should use the fused Pallas chain.
+
+        Off by default: the measured XLA path wins on this workload (see
+        ops/pallas_mlp.py docstring).  Set ``PYDENS_TPU_FUSED=always`` to
+        opt in.
+        """
+        import os
+        return os.environ.get("PYDENS_TPU_FUSED", "never") == "always"
 
 
 # Migration alias: the reference exports `TorchModel` as the subclassing base

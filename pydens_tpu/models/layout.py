@@ -211,4 +211,10 @@ def make_layout_network(layout, features, activation, in_dim,
                 h = h + stack.pop()
         return h
 
+    # Expose the resolved structure for the fused Pallas inference kernel
+    # (ops/pallas_mlp.py) without changing the 3-tuple return contract.
+    apply.tokens = tokens
+    apply.activations = acts
+    apply.layer_names = layer_names
+
     return init, apply, layer_names

@@ -613,8 +613,8 @@ class Solver:
             raise ValueError(
                 f"predict received {xs_concat.shape[1]} coordinate columns "
                 f"but the problem has ndims+nparams={self.model.total}")
-        out = self.model._apply_jit(self.model.params,
-                                    jnp.asarray(xs_concat, self.model.dtype))
+        out = self.model.predict_apply(
+            self.model.params, jnp.asarray(xs_concat, self.model.dtype))
         return np.asarray(out)
 
     # ------------------------------------------------------------------
