@@ -82,10 +82,14 @@ class Model:
         # Mutable training-time state, owned by the Solver but kept here so
         # `model(...)`, `model.freeze_trainable(...)` work like the reference.
         self.params = None
+        self.ensemble_size = 1
         self._frozen_layers = set()
         self._frozen_variables = set()
         self._apply_jit = jax.jit(self._apply_with_variables)
         self._apply_jit_fused = jax.jit(self._apply_with_variables_fused)
+        self._apply_jit_ensemble = jax.jit(
+            lambda params, xs: jax.vmap(
+                self._apply_with_variables, in_axes=(0, None))(params, xs))
         self._fused_broken = False
 
     # -- network body (overridden by subclasses) ---------------------------
@@ -238,8 +242,11 @@ class Model:
             return self.anzatc(u, xs, params)
 
     def predict_apply(self, params, xs):
-        """Jitted inference entry: routes large batches through the fused
-        Pallas chain when available, with transparent fallback."""
+        """Jitted inference entry.  Ensembles return ``(K, N, 1)``; single
+        models may route through the fused Pallas chain (opt-in) with
+        transparent fallback."""
+        if self.ensemble_size > 1:
+            return self._apply_jit_ensemble(params, xs)
         if not self._fused_broken and self._fusion_enabled(xs.shape[0]):
             try:
                 return self._apply_jit_fused(params, xs)
@@ -256,7 +263,10 @@ class Model:
             raise RuntimeError("model has no parameters yet — build it "
                                "through a Solver")
         xs_concat = Solver.reshape_and_concat(xs)
-        return self.predict_apply(self.params, jnp.asarray(xs_concat))
+        out = self.predict_apply(self.params, jnp.asarray(xs_concat))
+        if self.ensemble_size > 1:
+            out = jnp.mean(out, axis=0)
+        return out
 
     forward = __call__
 

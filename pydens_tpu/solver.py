@@ -22,6 +22,7 @@ quirks (documented inline), but a completely different execution model:
 from __future__ import annotations
 
 import contextlib
+import functools
 import sys
 import time
 
@@ -53,6 +54,28 @@ def _unflatten(spec, theta):
     (free under XLA — they fold into the consuming ops)."""
     treedef, shapes, offsets = spec
     leaves = [theta[offsets[i]:offsets[i + 1]].reshape(shapes[i])
+              for i in range(len(shapes))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _spec_from_tree(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    shapes = [tuple(l.shape) for l in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offsets = np.cumsum([0] + sizes).tolist()
+    return (treedef, shapes, offsets)
+
+
+def _flatten_stacked(tree, K):
+    """Flatten an ensemble-stacked pytree (every leaf has leading axis K)
+    into a (K, P) matrix of per-model parameter vectors."""
+    return jnp.concatenate([l.reshape(K, -1) for l in jax.tree.leaves(tree)],
+                           axis=1)
+
+
+def _unflatten_stacked(spec, thetas, K):
+    treedef, shapes, offsets = spec
+    leaves = [thetas[:, offsets[i]:offsets[i + 1]].reshape((K,) + shapes[i])
               for i in range(len(shapes))]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -101,13 +124,21 @@ class Solver:
         If given, the collocation batch is sharded over the mesh's first axis
         (data parallelism over ICI).  ``batch_size`` must divide the mesh
         size.
+    n_models : int
+        Train an ensemble of ``n_models`` independently-initialized networks
+        simultaneously (one vmapped training step — small PINN nets leave
+        the chip mostly idle, so the ensemble is nearly free).  ``predict``
+        returns the ensemble mean; ``predict_std`` the pointwise epistemic
+        uncertainty; ``predict_all`` every member.  V-token variables are
+        per-model (coefficient uncertainty in inverse problems).
     """
 
     def __init__(self, equation, ndims, initial_condition=None,
                  boundary_condition=None, domain=(0, 1), nparams=0,
                  model=ConvBlockModel, constraints=None, seed=0, mesh=None,
-                 **kwargs):
+                 n_models=1, **kwargs):
         self.equation = equation
+        self.n_models = int(n_models)
         if constraints is None:
             self.constraints = ()
         elif isinstance(constraints, (tuple, list)):
@@ -173,16 +204,41 @@ class Solver:
         params["variables"] = {name: jnp.asarray(value, dtype)
                                for name, value in registry.items()}
         self._initial_variables = dict(registry)
-        self.model.params = params
+
+        # Single-model parameter template (defines the flatten spec and the
+        # per-model structure even when training an ensemble).
+        self._param_template = jax.eval_shape(lambda p: p, params)
+        spec = _spec_from_tree(self._param_template)
 
         # Jitted param-management helpers: setup work (flatten/unflatten,
         # fresh init) must not run op-by-op eagerly — each eager dispatch is
         # a device round-trip, which dominates when the chip is remote.
-        self._flatten_jit = jax.jit(_flatten_tree)
-        spec = self._flatten_spec()
-        self._unflatten_jit = jax.jit(lambda th: _unflatten(spec, th))
-        self._init_params_jit = jax.jit(
-            lambda key, variables: self.model.init_params(key, variables))
+        K = self.n_models
+        if K > 1:
+            # Ensemble: K independently-initialized models trained
+            # simultaneously by vmapping the training step — small PINN nets
+            # underutilize the chip, so an ensemble is nearly free and gives
+            # epistemic uncertainty (no reference counterpart).
+            def make_params(key, variables):
+                keys = jax.random.split(key, K)
+                return jax.vmap(
+                    lambda k: self.model.init_params(k, variables))(keys)
+
+            self._flatten_jit = jax.jit(functools.partial(
+                _flatten_stacked, K=K))
+            self._unflatten_jit = jax.jit(
+                lambda th: _unflatten_stacked(spec, th, K))
+        else:
+            def make_params(key, variables):
+                return self.model.init_params(key, variables)
+
+            self._flatten_jit = jax.jit(_flatten_tree)
+            self._unflatten_jit = jax.jit(lambda th: _unflatten(spec, th))
+        self._init_params_jit = jax.jit(make_params)
+        init2_key, self._key = jax.random.split(self._key)
+        self.model.params = (self._init_params_jit(
+            init2_key, self._initial_variables) if K > 1 else params)
+        self.model.ensemble_size = K
 
     # -- public state -------------------------------------------------------
     @property
@@ -299,15 +355,21 @@ class Solver:
     # training
     # ------------------------------------------------------------------
     def _build_loss_fn(self, loss_terms, criterion):
+        """Build the total-loss function.
+
+        ``loss_terms`` is a tuple of ``(term_name, weight)`` pairs (weights
+        default to 1.0 — the reference supports only unweighted term lists,
+        ``model_torch.py:441-457``; dict-with-weights is a superset).
+        """
         equation = self.equation
         constraints = self.constraints
         model = self.model
         total = model.total
         dtype = model.dtype
-        use_equation = "equation" in loss_terms
-        nums = [int(term.replace("constraint", "").replace("_", ""))
-                for term in loss_terms if "constraint" in term]
-        for num in nums:
+        eq_weight = dict(loss_terms).get("equation")
+        nums = [(int(term.replace("constraint", "").replace("_", "")), w)
+                for term, w in loss_terms if "constraint" in term]
+        for num, _ in nums:
             if num >= len(constraints):
                 raise ValueError(
                     f"loss term 'constraint_{num}' requested but only "
@@ -321,24 +383,22 @@ class Solver:
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
                 loss = jnp.asarray(0.0, dtype)
-                if use_equation:
+                if eq_weight is not None:
                     res = as_array(equation(f, *coords))
-                    loss = loss + criterion(res, jnp.zeros_like(leaves[0]))
+                    loss = loss + eq_weight * criterion(
+                        res, jnp.zeros_like(leaves[0]))
                 if nums:
                     fwd = self._make_forward(params, ctx)
-                    for num in nums:
+                    for num, w in nums:
                         c = as_array(constraints[num](fwd, *coords))
-                        loss = loss + criterion(c, jnp.zeros((1,), dtype))
+                        loss = loss + w * criterion(c, jnp.zeros((1,), dtype))
             return loss
 
         return loss_fn
 
     def _flatten_spec(self):
-        leaves, treedef = jax.tree_util.tree_flatten(self.model.params)
-        shapes = [jnp.shape(l) for l in leaves]
-        sizes = [int(np.prod(s)) for s in shapes]
-        offsets = np.cumsum([0] + sizes).tolist()
-        return (treedef, shapes, offsets)
+        """Single-model flatten spec (ensemble stacking sits outside it)."""
+        return _spec_from_tree(self._param_template)
 
     def _build_step_fn(self, cfg):
         """Build (and cache) the jitted chunk runner.
@@ -379,6 +439,7 @@ class Solver:
         # this layout measured ~3x faster than the per-leaf pytree carry on
         # a v5e chip.  `unflatten` uses static slices, which XLA folds away.
         flatten_spec = self._flatten_spec()
+        n_models = self.n_models
 
         def flat_loss(theta, leaves):
             return loss_fn(_unflatten(flatten_spec, theta), leaves)
@@ -411,8 +472,8 @@ class Solver:
             if not all_trainable:
                 mask_vec = _flatten_tree(
                     jax.tree.map(
-                        lambda m, l: jnp.full(jnp.shape(l), m, dtype),
-                        mask, self.model.params))
+                        lambda m, t: jnp.full(t.shape, m, dtype),
+                        mask, self._param_template))
 
             def body(i, state):
                 (theta, opt_state), losses = state
@@ -421,7 +482,15 @@ class Solver:
                     pts = jax.lax.with_sharding_constraint(
                         pts, batch_sharding)
                 leaves = [pts[:, c:c + 1] for c in range(total)]
-                loss, grad = jax.value_and_grad(flat_loss)(theta, leaves)
+                if n_models > 1:
+                    # One vmapped step trains the whole ensemble; the loss
+                    # recorded is the ensemble mean.
+                    loss_k, grad = jax.vmap(
+                        jax.value_and_grad(flat_loss),
+                        in_axes=(0, None))(theta, leaves)
+                    loss = jnp.mean(loss_k)
+                else:
+                    loss, grad = jax.value_and_grad(flat_loss)(theta, leaves)
                 if not all_trainable:
                     grad = grad * mask_vec
                 if needs_value_fn:
@@ -443,7 +512,8 @@ class Solver:
             """Flatten params and build optimizer state in one jitted call —
             per-fit setup must not run eagerly (each eager op is a
             round-trip when the device sits behind a tunnel)."""
-            theta = _flatten_tree(params)
+            theta = (_flatten_stacked(params, n_models) if n_models > 1
+                     else _flatten_tree(params))
             return theta, opt.init(theta)
 
         compiled = (jax.jit(run_chunk, donate_argnums=(0,)), jax.jit(prep))
@@ -461,7 +531,8 @@ class Solver:
         (``model_torch.py:364-422``): ``sampler`` follows the
         ``.sample(size)`` protocol (device-side ``sample_device(key, size)``
         is used when available); ``loss_terms`` is ``'equation'`` and/or
-        ``'constraint_k'`` entries; ``optimizer`` is a torch-style name
+        ``'constraint_k'`` entries — or a ``{term: weight}`` dict for
+        weighted composite losses; ``optimizer`` is a torch-style name
         (``None`` reuses the existing optimizer *and its state*, the
         reference's warm-restart idiom, ``:391-393,419``); ``criterion`` is a
         name or jnp callable; extra kwargs go to the optimizer.
@@ -479,8 +550,16 @@ class Solver:
         fit_t0 = time.perf_counter()
         if losses is not None:
             loss_terms = losses
-        loss_terms = tuple(loss_terms) if isinstance(
-            loss_terms, (tuple, list)) else (loss_terms,)
+        # Normalize loss_terms to ((name, weight), ...): accepts a single
+        # name, a list of names (reference surface), or a {name: weight}
+        # dict (weighted superset).
+        if isinstance(loss_terms, dict):
+            loss_terms = tuple((str(k), float(v))
+                               for k, v in loss_terms.items())
+        else:
+            if not isinstance(loss_terms, (tuple, list)):
+                loss_terms = (loss_terms,)
+            loss_terms = tuple((str(t), 1.0) for t in loss_terms)
         criterion_fn, criterion_key = resolve_criterion(criterion)
 
         # Optimizer: fresh per fit call unless optimizer=None (reuse).  The
@@ -498,6 +577,11 @@ class Solver:
         elif self._opt is None:
             raise ValueError("fit(optimizer=None) requires a previous fit "
                              "call that created an optimizer")
+        if self._opt_needs_value_fn and self.n_models > 1:
+            raise ValueError(
+                "linesearch optimizers (LBFGS) are not supported with "
+                "n_models > 1 — the linesearch step size is per-model; "
+                "train the ensemble with Adam and polish models separately")
 
         # Sampler path.
         if sampler is None or getattr(sampler, "supports_device", False):
@@ -601,21 +685,41 @@ class Solver:
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
-    def predict(self, *xs):
-        """Evaluate the trained solution at the supplied points.
-
-        Accepts the same mixed inputs as the reference
-        (``model_torch.py:466-487``): arrays, numbers (tiled to the batch),
-        lists.  Returns an ``(N, 1)`` numpy array.
-        """
+    def _predict_raw(self, xs):
         xs_concat = self.reshape_and_concat(xs)
         if xs_concat.shape[1] != self.model.total:
             raise ValueError(
                 f"predict received {xs_concat.shape[1]} coordinate columns "
                 f"but the problem has ndims+nparams={self.model.total}")
-        out = self.model.predict_apply(
+        return self.model.predict_apply(
             self.model.params, jnp.asarray(xs_concat, self.model.dtype))
+
+    def predict(self, *xs):
+        """Evaluate the trained solution at the supplied points.
+
+        Accepts the same mixed inputs as the reference
+        (``model_torch.py:466-487``): arrays, numbers (tiled to the batch),
+        lists.  Returns an ``(N, 1)`` numpy array (the ensemble mean when
+        ``n_models > 1``).
+        """
+        out = self._predict_raw(xs)
+        if self.n_models > 1:
+            out = jnp.mean(out, axis=0)
         return np.asarray(out)
+
+    def predict_all(self, *xs):
+        """Per-model predictions, shape ``(n_models, N, 1)``."""
+        out = self._predict_raw(xs)
+        if self.n_models == 1:
+            out = out[None]
+        return np.asarray(out)
+
+    def predict_std(self, *xs):
+        """Ensemble standard deviation — epistemic uncertainty of the
+        learned solution, shape ``(N, 1)``.  Requires ``n_models > 1``."""
+        if self.n_models <= 1:
+            raise ValueError("predict_std requires Solver(n_models > 1)")
+        return np.asarray(jnp.std(self._predict_raw(xs), axis=0))
 
     # ------------------------------------------------------------------
     # checkpointing (superset of the reference, which has none — SURVEY §5)
