@@ -375,7 +375,18 @@ class Solver:
                     f"loss term 'constraint_{num}' requested but only "
                     f"{len(constraints)} constraints were supplied to Solver")
 
-        def loss_fn(params, leaves):
+        def point_residual(params, leaves):
+            """Per-point |equation residual| — used by adaptive sampling."""
+            ctx = EvalContext(leaves)
+            with variable_scope("read", params["variables"]):
+                f = Expr(lambda ls: model.apply(
+                    params, jnp.concatenate(ls, axis=1)), ctx)
+                coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
+                          for k in range(total)]
+                res = as_array(equation(f, *coords))
+            return jnp.abs(res)
+
+        def loss_fn(params, leaves, point_weight=None):
             ctx = EvalContext(leaves)
             with variable_scope("read", params["variables"]):
                 f = Expr(lambda ls: model.apply(
@@ -385,6 +396,11 @@ class Solver:
                 loss = jnp.asarray(0.0, dtype)
                 if eq_weight is not None:
                     res = as_array(equation(f, *coords))
+                    if point_weight is not None:
+                        # Importance weights from adaptive sampling: scaling
+                        # the residual by sqrt(w) keeps the (MSE) loss an
+                        # unbiased estimate of the uniform residual loss.
+                        res = res * jnp.sqrt(point_weight)[:, None]
                     loss = loss + eq_weight * criterion(
                         res, jnp.zeros_like(leaves[0]))
                 if nums:
@@ -394,7 +410,7 @@ class Solver:
                         loss = loss + w * criterion(c, jnp.zeros((1,), dtype))
             return loss
 
-        return loss_fn
+        return loss_fn, point_residual
 
     def _flatten_spec(self):
         """Single-model flatten spec (ensemble stacking sits outside it)."""
@@ -411,12 +427,14 @@ class Solver:
         """
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
-               cfg["sampler_key"], cfg["resample"],
+               cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]
 
-        loss_fn = self._build_loss_fn(cfg["loss_terms"], cfg["criterion"])
+        loss_fn, point_residual = self._build_loss_fn(cfg["loss_terms"],
+                                                      cfg["criterion"])
+        adaptive = cfg["adaptive"]
         opt = cfg["opt"]
         mask = cfg["mask"]
         all_trainable = all(jax.tree.leaves(mask))
@@ -441,13 +459,17 @@ class Solver:
         flatten_spec = self._flatten_spec()
         n_models = self.n_models
 
-        def flat_loss(theta, leaves):
-            return loss_fn(_unflatten(flatten_spec, theta), leaves)
+        def flat_loss(theta, leaves, point_weight=None):
+            return loss_fn(_unflatten(flatten_spec, theta), leaves,
+                           point_weight)
+
+        def flat_residual(theta, leaves):
+            return point_residual(_unflatten(flatten_spec, theta), leaves)
 
         def run_chunk(carry, base_key, start, n, host_pts):
             """Run ``n <= chunk`` training steps; returns new carry and a
             ``(chunk,)`` loss buffer whose first ``n`` entries are valid."""
-            n_batches = chunk if resample else 1
+            n_batches = 1 if (adaptive or not resample) else chunk
             if device_sampling:
                 # Sample the whole chunk's collocation points in one RNG op
                 # (one big fused kernel beats `chunk` tiny per-step ones —
@@ -477,7 +499,49 @@ class Solver:
 
             def body(i, state):
                 (theta, opt_state), losses = state
-                pts = pts_all[i] if resample else pts_all[0]
+                if adaptive:
+                    # Residual-based adaptive refinement: draw `adaptive` x
+                    # batch candidates and build a hybrid batch — half
+                    # uniform (coverage) and half the highest-|residual|
+                    # candidates (refinement).  Pure top-k exploitation
+                    # collapses coverage and diverges (measured).
+                    ck = jax.random.fold_in(base_key, start + i)
+                    n_cand = adaptive * batch_size
+                    if sampler is None:
+                        cand = jax.random.uniform(ck, (n_cand, total), dtype)
+                    else:
+                        cand = jnp.asarray(
+                            sampler.sample_device(ck, n_cand), dtype)
+                    cand_leaves = [cand[:, c:c + 1] for c in range(total)]
+                    if n_models > 1:
+                        res = jax.vmap(flat_residual, in_axes=(0, None))(
+                            theta, cand_leaves).mean(axis=0)
+                    else:
+                        res = flat_residual(theta, cand_leaves)
+                    n_top = batch_size // 2
+                    n_uni = batch_size - n_top
+                    # Proportional importance sampling: draw the refinement
+                    # half from a categorical ∝ |residual| over the candidate
+                    # pool and weight each picked point by w = 1/(M·p), so
+                    # the training loss remains an unbiased estimate of the
+                    # uniform residual MSE with reduced variance.  A uniform
+                    # half keeps raw coverage.  (Hard top-k without weights
+                    # let the stiff region dominate the gradient and made
+                    # convergence worse — measured.)
+                    m_pool = n_cand - n_uni
+                    r = res[:m_pool, 0]
+                    probs = r / (jnp.sum(r) + 1e-30)
+                    sel_key = jax.random.fold_in(ck, 1)
+                    idx = jax.random.categorical(
+                        sel_key, jnp.log(probs + 1e-30), shape=(n_top,))
+                    w_sel = 1.0 / (m_pool * probs[idx] + 1e-30)
+                    pts = jnp.concatenate(
+                        [cand[m_pool:], cand[idx]], axis=0)
+                    point_weight = jnp.concatenate(
+                        [jnp.ones((n_uni,), dtype), w_sel.astype(dtype)])
+                else:
+                    pts = pts_all[i] if resample else pts_all[0]
+                    point_weight = None
                 if mesh is not None:
                     pts = jax.lax.with_sharding_constraint(
                         pts, batch_sharding)
@@ -487,10 +551,11 @@ class Solver:
                     # recorded is the ensemble mean.
                     loss_k, grad = jax.vmap(
                         jax.value_and_grad(flat_loss),
-                        in_axes=(0, None))(theta, leaves)
+                        in_axes=(0, None, None))(theta, leaves, point_weight)
                     loss = jnp.mean(loss_k)
                 else:
-                    loss, grad = jax.value_and_grad(flat_loss)(theta, leaves)
+                    loss, grad = jax.value_and_grad(flat_loss)(
+                        theta, leaves, point_weight)
                 if not all_trainable:
                     grad = grad * mask_vec
                 if needs_value_fn:
@@ -498,7 +563,8 @@ class Solver:
                     # trial points along the search direction.
                     updates, opt_state = opt.update(
                         grad, opt_state, theta, value=loss, grad=grad,
-                        value_fn=lambda th: flat_loss(th, leaves))
+                        value_fn=lambda th: flat_loss(th, leaves,
+                                                      point_weight))
                 else:
                     updates, opt_state = opt.update(grad, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
@@ -523,7 +589,7 @@ class Solver:
     def fit(self, niters, batch_size, sampler=None, loss_terms="equation",
             optimizer="Adam", criterion="MSELoss", lr=0.005, losses=None,
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
-            **kwargs):
+            adaptive=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -545,7 +611,11 @@ class Solver:
         TensorBoard / xprof); ``resample=False`` draws ONE collocation batch
         and reuses it every iteration — full-batch training, the standard
         companion to ``optimizer='LBFGS'`` for a high-precision finishing
-        phase.
+        phase; ``adaptive=r`` (int >= 2) enables residual-based adaptive
+        refinement — each iteration draws ``r * batch_size`` candidate
+        points and trains on the ``batch_size`` with the largest
+        |equation residual| (device-side; requires the 'equation' loss term
+        and a device-capable sampler).
         """
         fit_t0 = time.perf_counter()
         if losses is not None:
@@ -592,6 +662,19 @@ class Solver:
             raise ValueError(
                 f"batch_size={batch_size} must be divisible by the mesh "
                 f"size {self.mesh.size} for data-parallel training")
+        if adaptive is not None:
+            adaptive = int(adaptive)
+            if adaptive < 2:
+                raise ValueError("adaptive must be an int >= 2 (candidate "
+                                 "oversampling factor)")
+            if sampler_key == "host":
+                raise ValueError(
+                    "adaptive sampling runs device-side; the supplied "
+                    "sampler has no sample_device path")
+            if "equation" not in dict(loss_terms):
+                raise ValueError("adaptive sampling ranks points by the "
+                                 "equation residual; include 'equation' in "
+                                 "loss_terms")
 
         niters = int(niters)
         chunk = max(1, min(niters, int(chunk_size)))
@@ -603,7 +686,7 @@ class Solver:
                    mask_key=(frozenset(self.model._frozen_layers),
                              frozenset(self.model._frozen_variables)),
                    sampler=sampler, sampler_key=sampler_key,
-                   resample=bool(resample),
+                   resample=bool(resample), adaptive=adaptive,
                    needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
