@@ -19,19 +19,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "batch_sharding", "replicated"]
 
 
-def make_mesh(n_devices=None, axis_name="data", devices=None):
-    """Create a 1-D device mesh for data-parallel training.
+def make_mesh(n_devices=None, axis_name="data", devices=None, shape=None,
+              axis_names=None):
+    """Create a device mesh for parallel training.
+
+    1-D (default): the collocation batch is sharded over ``axis_name``
+    (data parallelism).  N-D: pass ``shape`` and ``axis_names`` — an axis
+    named ``'models'`` shards ensemble members (``Solver(n_models=K)``)
+    across devices, composing ensemble-parallelism with data-parallelism::
+
+        mesh = make_mesh(shape=(2, 4), axis_names=("models", "data"))
+        Solver(pde, ..., n_models=8, mesh=mesh)
 
     Parameters
     ----------
     n_devices : int, optional
-        Number of devices to use (default: all available).
+        Number of devices for a 1-D mesh (default: all available).
     axis_name : str
-        Mesh axis name the batch is sharded over.
+        1-D mesh axis name.
     devices : sequence, optional
         Explicit device list (default ``jax.devices()``).
+    shape : tuple of int, optional
+        N-D mesh shape; its product selects that many devices.
+    axis_names : tuple of str, optional
+        One name per mesh axis (required with ``shape``).
     """
     devices = list(devices if devices is not None else jax.devices())
+    if shape is not None:
+        if axis_names is None or len(axis_names) != len(shape):
+            raise ValueError("axis_names must name every axis of `shape`")
+        need = int(np.prod(shape))
+        if need > len(devices):
+            raise ValueError(
+                f"mesh shape {shape} needs {need} devices but only "
+                f"{len(devices)} are available")
+        return Mesh(np.asarray(devices[:need]).reshape(shape),
+                    tuple(axis_names))
     if n_devices is not None:
         if n_devices > len(devices):
             raise ValueError(

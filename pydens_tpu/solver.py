@@ -44,6 +44,17 @@ def _leaf_fn(k):
     return lambda ls: ls[k]
 
 
+def _mesh_axes(mesh, n_models):
+    """Resolve (data_axis, model_axis) names for a mesh: an axis named
+    'models' shards ensemble members (when n_models > 1); the first other
+    axis shards the collocation batch."""
+    names = list(mesh.axis_names)
+    model_axis = "models" if ("models" in names and n_models > 1) else None
+    data_candidates = [a for a in names if a != "models"]
+    data_axis = data_candidates[0] if data_candidates else None
+    return data_axis, model_axis
+
+
 def _flatten_tree(tree):
     """Ravel-and-concatenate all leaves into one flat vector."""
     return jnp.concatenate([jnp.ravel(l) for l in jax.tree.leaves(tree)])
@@ -447,8 +458,13 @@ class Solver:
         resample = cfg["resample"]
         needs_value_fn = cfg["needs_value_fn"]
         mesh = self.mesh
+        data_axis = model_axis = None
         if mesh is not None:
-            batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
+            data_axis, model_axis = _mesh_axes(mesh, self.n_models)
+            batch_sharding = (NamedSharding(mesh, P(data_axis, None))
+                              if data_axis else None)
+            theta_sharding = (NamedSharding(mesh, P(model_axis, None))
+                              if model_axis else None)
 
         # The training state is ONE flat parameter vector: the while-loop
         # carry shrinks from ~3 buffers per leaf to 3 total and the optimizer
@@ -542,9 +558,15 @@ class Solver:
                 else:
                     pts = pts_all[i] if resample else pts_all[0]
                     point_weight = None
-                if mesh is not None:
+                if mesh is not None and batch_sharding is not None:
                     pts = jax.lax.with_sharding_constraint(
                         pts, batch_sharding)
+                if mesh is not None and theta_sharding is not None:
+                    # Ensemble members shard across the 'models' mesh axis;
+                    # each device trains its members on the (data-sharded)
+                    # batch — composed ensemble x data parallelism.
+                    theta = jax.lax.with_sharding_constraint(
+                        theta, theta_sharding)
                 leaves = [pts[:, c:c + 1] for c in range(total)]
                 if n_models > 1:
                     # One vmapped step trains the whole ensemble; the loss
@@ -658,10 +680,19 @@ class Solver:
             sampler_key = id(sampler) if sampler is not None else "default"
         else:
             sampler_key = "host"
-        if self.mesh is not None and batch_size % self.mesh.size != 0:
-            raise ValueError(
-                f"batch_size={batch_size} must be divisible by the mesh "
-                f"size {self.mesh.size} for data-parallel training")
+        if self.mesh is not None:
+            data_axis, model_axis = _mesh_axes(self.mesh, self.n_models)
+            if data_axis and batch_size % self.mesh.shape[data_axis] != 0:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the "
+                    f"'{data_axis}' mesh axis size "
+                    f"{self.mesh.shape[data_axis]} for data-parallel "
+                    "training")
+            if model_axis and self.n_models % self.mesh.shape[model_axis]:
+                raise ValueError(
+                    f"n_models={self.n_models} must be divisible by the "
+                    f"'{model_axis}' mesh axis size "
+                    f"{self.mesh.shape[model_axis]}")
         if adaptive is not None:
             adaptive = int(adaptive)
             if adaptive < 2:
@@ -728,8 +759,9 @@ class Solver:
                 else:
                     pts = fixed_host_batch
                 if self.mesh is not None:
+                    data_axis, _ = _mesh_axes(self.mesh, self.n_models)
                     host_pts = jax.device_put(pts, NamedSharding(
-                        self.mesh, P(None, self.mesh.axis_names[0], None)))
+                        self.mesh, P(None, data_axis, None)))
                 else:
                     host_pts = jnp.asarray(pts)
             else:

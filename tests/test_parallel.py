@@ -63,6 +63,37 @@ def test_mesh_subset_of_devices():
         make_mesh(100)
 
 
+def test_2d_mesh_ensemble_times_data_parallel():
+    # 2x4 mesh: 4 ensemble members sharded 2-way over 'models', batch
+    # sharded 4-way over 'data' — composed parallelism in one step.
+    mesh = make_mesh(shape=(2, 4), axis_names=("models", "data"))
+    solver = Solver(_ode, ndims=1, initial_condition=.5, mesh=mesh, seed=0,
+                    n_models=4, activation="Tanh", layout="fafaf",
+                    features=[12, 10, 1])
+    solver.fit(niters=200, batch_size=256, lr=0.02, progress=False)
+    assert solver.losses[-1] < 0.05
+    assert solver.predict_all(np.linspace(0, 1, 9)).shape == (4, 9, 1)
+    std = solver.predict_std(np.linspace(0, 1, 9))
+    assert np.isfinite(std).all()
+
+
+def test_2d_mesh_divisibility_checks():
+    mesh = make_mesh(shape=(2, 4), axis_names=("models", "data"))
+    solver = Solver(_ode, ndims=1, mesh=mesh, seed=0, n_models=3)
+    with pytest.raises(ValueError, match="n_models=3"):
+        solver.fit(niters=1, batch_size=8, progress=False)
+    solver2 = Solver(_ode, ndims=1, mesh=mesh, seed=0, n_models=2)
+    with pytest.raises(ValueError, match="'data' mesh axis"):
+        solver2.fit(niters=1, batch_size=10, progress=False)
+
+
+def test_make_mesh_shape_validation():
+    with pytest.raises(ValueError, match="axis_names"):
+        make_mesh(shape=(2, 4))
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(shape=(4, 4), axis_names=("models", "data"))
+
+
 def test_mesh_matches_single_device_loss_scale():
     # Same seed, same config: mesh vs no-mesh runs should see losses of the
     # same magnitude (identical math, different layout).
