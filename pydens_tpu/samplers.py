@@ -352,7 +352,7 @@ class MixtureSampler(Sampler):
     """Row-wise mixture — the ``|`` operator; component weights come from
     ``w * sampler``."""
 
-    def __init__(self, samplers):
+    def __init__(self, samplers, seed=None):
         flat = []
         for s in samplers:
             if isinstance(s, MixtureSampler):
@@ -366,10 +366,11 @@ class MixtureSampler(Sampler):
         self.ndims = dims.pop()
         w = np.asarray([s.weight for s in flat], np.float64)
         self.weights = w / w.sum()
+        self._rng = np.random.default_rng(seed)
 
     def sample(self, size):
-        rng = np.random.default_rng()
-        comp = rng.choice(len(self.samplers), size=size, p=self.weights)
+        comp = self._rng.choice(len(self.samplers), size=size,
+                                p=self.weights)
         out = np.empty((size, self.ndims), np.float64)
         for i, s in enumerate(self.samplers):
             mask = comp == i

@@ -174,6 +174,7 @@ class Solver:
         self._opt_needs_value_fn = False
         self._opt_cache = {}
         self._step_cache = {}
+        self._residual_jit = None
 
         # Initialize network parameters, then discover V-token variables with
         # a fake run of model + equation + constraints (superset of the
@@ -640,6 +641,8 @@ class Solver:
         and a device-capable sampler).
         """
         fit_t0 = time.perf_counter()
+        if int(niters) <= 0:
+            return self
         if losses is not None:
             loss_terms = losses
         # Normalize loss_terms to ((name, weight), ...): accepts a single
@@ -801,7 +804,12 @@ class Solver:
     # inference
     # ------------------------------------------------------------------
     def _predict_raw(self, xs):
-        xs_concat = self.reshape_and_concat(xs)
+        if (len(xs) == 1 and hasattr(xs[0], "ndim") and xs[0].ndim == 2
+                and xs[0].shape[1] == self.model.total > 1):
+            # A single (N, total) grid of stacked coordinates.
+            xs_concat = np.asarray(xs[0], np.float32)
+        else:
+            xs_concat = self.reshape_and_concat(xs)
         if xs_concat.shape[1] != self.model.total:
             raise ValueError(
                 f"predict received {xs_concat.shape[1]} coordinate columns "
@@ -809,13 +817,34 @@ class Solver:
         return self.model.predict_apply(
             self.model.params, jnp.asarray(xs_concat, self.model.dtype))
 
+    def residual(self, *xs):
+        """Evaluate the |equation residual| at the supplied points — the
+        natural verification diagnostic (how well the PDE is satisfied).
+        Accepts the same inputs as :meth:`predict`; for ensembles returns
+        the per-model mean.  Returns an ``(N, 1)`` numpy array."""
+        if self._residual_jit is None:
+            _, point_residual = self._build_loss_fn((("equation", 1.0),),
+                                                    lambda a, b: 0.0)
+            if self.n_models > 1:
+                def res_fn(params, leaves):
+                    return jax.vmap(point_residual, in_axes=(0, None))(
+                        params, leaves).mean(axis=0)
+            else:
+                res_fn = point_residual
+            self._residual_jit = jax.jit(res_fn)
+        xs_concat = jnp.asarray(self.reshape_and_concat(xs),
+                                self.model.dtype)
+        leaves = [xs_concat[:, i:i + 1] for i in range(self.model.total)]
+        return np.asarray(self._residual_jit(self.model.params, leaves))
+
     def predict(self, *xs):
         """Evaluate the trained solution at the supplied points.
 
         Accepts the same mixed inputs as the reference
         (``model_torch.py:466-487``): arrays, numbers (tiled to the batch),
-        lists.  Returns an ``(N, 1)`` numpy array (the ensemble mean when
-        ``n_models > 1``).
+        lists — plus a single ``(N, ndims+nparams)`` array of stacked
+        coordinates.  Returns an ``(N, 1)`` numpy array (the ensemble mean
+        when ``n_models > 1``).
         """
         out = self._predict_raw(xs)
         if self.n_models > 1:

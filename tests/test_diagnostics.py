@@ -1,0 +1,49 @@
+"""Diagnostics: solver.residual() and grid-input predict."""
+
+import numpy as np
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D, uniform_grid
+
+
+def _ode(f, x):
+    return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+
+def test_residual_drops_with_training():
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0,
+                    activation="Tanh", layout="fafaf", features=[12, 10, 1])
+    xs = np.linspace(0, 1, 100)
+    r0 = solver.residual(xs)
+    assert r0.shape == (100, 1)
+    solver.fit(niters=400, batch_size=256, lr=0.02, progress=False)
+    r1 = solver.residual(xs)
+    assert r1.mean() < r0.mean() * 0.1
+    assert (r1 >= 0).all()
+
+
+def test_residual_ensemble_mean():
+    solver = Solver(_ode, ndims=1, seed=0, n_models=3)
+    r = solver.residual(np.linspace(0, 1, 20))
+    assert r.shape == (20, 1)
+    assert np.isfinite(r).all()
+
+
+def test_predict_accepts_stacked_grid():
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y)
+
+    solver = Solver(pde, ndims=2, boundary_condition=0.5, seed=0)
+    grid = uniform_grid([(0, 1), (0, 1)], 7)  # (49, 2)
+    out = solver.predict(grid)
+    assert out.shape == (49, 1)
+    # equivalent to the per-column call
+    out2 = solver.predict(grid[:, 0:1], grid[:, 1:2])
+    np.testing.assert_allclose(out, out2, rtol=1e-6)
+
+
+def test_fit_zero_iters_noop():
+    solver = Solver(_ode, ndims=1, seed=0)
+    solver.fit(niters=0, batch_size=8, progress=False)
+    assert solver.losses == [] and solver.history == []
