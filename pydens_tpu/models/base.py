@@ -218,7 +218,16 @@ class Model:
         if self.initial_condition is not None:
             cols = [xs_spatial[:, i] for i in range(nds)]
             ic = jnp.asarray(self.initial_condition(*cols), self.dtype)
-            ic = ic.reshape(-1, 1)
+            n_out = u.shape[1]
+            if ic.ndim == 0:
+                ic = ic.reshape(1, 1)
+            elif ic.ndim == 1:
+                if n_out > 1 and ic.shape[0] == n_out:
+                    # One initial value per solution component (systems of
+                    # equations — superset of the scalar reference).
+                    ic = ic.reshape(1, -1)
+                else:
+                    ic = ic.reshape(-1, 1)  # per-point column (reference)
             gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
             u = gate * u + ic
         return u

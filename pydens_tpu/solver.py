@@ -197,7 +197,11 @@ class Solver:
             coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                       for k in range(total)]
             try:
-                outs = [as_array(self.equation(f, *coords))]
+                eq_out = self.equation(f, *coords)
+                if isinstance(eq_out, (tuple, list)):
+                    outs = [as_array(r) for r in eq_out]
+                else:
+                    outs = [as_array(eq_out)]
             except TypeError as err:
                 if "positional argument" in str(err):
                     raise TypeError(
@@ -388,15 +392,22 @@ class Solver:
                     f"{len(constraints)} constraints were supplied to Solver")
 
         def point_residual(params, leaves):
-            """Per-point |equation residual| — used by adaptive sampling."""
+            """Per-point |equation residual| (summed over a system's
+            components) — used by adaptive sampling and diagnostics."""
             ctx = EvalContext(leaves)
             with variable_scope("read", params["variables"]):
                 f = Expr(lambda ls: model.apply(
                     params, jnp.concatenate(ls, axis=1)), ctx)
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
-                res = as_array(equation(f, *coords))
-            return jnp.abs(res)
+                out = equation(f, *coords)
+                residuals = (out if isinstance(out, (tuple, list))
+                             else (out,))
+                acc = jnp.zeros_like(leaves[0])
+                for res in residuals:
+                    acc = acc + jnp.sum(jnp.abs(as_array(res)), axis=1,
+                                        keepdims=True)
+            return acc
 
         def loss_fn(params, leaves, point_weight=None):
             ctx = EvalContext(leaves)
@@ -407,14 +418,21 @@ class Solver:
                           for k in range(total)]
                 loss = jnp.asarray(0.0, dtype)
                 if eq_weight is not None:
-                    res = as_array(equation(f, *coords))
-                    if point_weight is not None:
-                        # Importance weights from adaptive sampling: scaling
-                        # the residual by sqrt(w) keeps the (MSE) loss an
-                        # unbiased estimate of the uniform residual loss.
-                        res = res * jnp.sqrt(point_weight)[:, None]
-                    loss = loss + eq_weight * criterion(
-                        res, jnp.zeros_like(leaves[0]))
+                    # The equation may return one residual or a tuple/list of
+                    # coupled residuals (systems of equations — a superset of
+                    # the scalar-only reference).
+                    out = equation(f, *coords)
+                    residuals = (out if isinstance(out, (tuple, list))
+                                 else (out,))
+                    for res in residuals:
+                        res = as_array(res)
+                        if point_weight is not None:
+                            # Importance weights from adaptive sampling:
+                            # scaling by sqrt(w) keeps the (MSE) loss an
+                            # unbiased estimate of the uniform residual loss.
+                            res = res * jnp.sqrt(point_weight)[:, None]
+                        loss = loss + eq_weight * criterion(
+                            res, jnp.zeros_like(leaves[0]))
                 if nums:
                     fwd = self._make_forward(params, ctx)
                     for num, w in nums:
