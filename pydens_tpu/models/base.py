@@ -47,6 +47,48 @@ def _normalize_domain(domain, ndims):
     return domain
 
 
+def _normalize_ic_shape(ic, n_points, n_out):
+    """Normalize an initial-condition value to broadcast against the
+    ``(n_points, n_out)`` network output.
+
+    Accepted: scalar; ``(n_points,)`` per-point values (reference semantics
+    — wins the ``n_points == n_out`` ambiguity); ``(n_out,)`` per-component
+    values (systems); 2-D shapes already broadcast-compatible with
+    ``(n_points, n_out)``.  Anything else raises with the fix spelled out
+    (e.g. a ``(n_out, n_points)`` tuple-of-columns needs ``jnp.stack(...,
+    axis=-1)``).
+    """
+    if ic.ndim == 0:
+        return ic.reshape(1, 1)
+    if ic.ndim == 1:
+        if ic.shape[0] == n_points:
+            return ic.reshape(-1, 1)  # per-point column (reference)
+        if ic.shape[0] == n_out:
+            return ic.reshape(1, -1)  # per-component row (systems)
+        if ic.shape[0] == 1:
+            return ic.reshape(1, 1)
+        raise ValueError(
+            f"initial_condition returned shape {ic.shape}, which matches "
+            f"neither the batch ({n_points} points) nor the number of "
+            f"solution components ({n_out})")
+    if ic.ndim == 2:
+        rows, cols = ic.shape
+        if rows in (1, n_points) and cols in (1, n_out):
+            return ic
+        hint = ""
+        if (rows, cols) == (n_out, n_points):
+            hint = (" — this looks transposed (e.g. a tuple of per-point "
+                    "columns); return jnp.stack(components, axis=-1) "
+                    "instead")
+        raise ValueError(
+            f"initial_condition returned shape {ic.shape}, which cannot "
+            f"broadcast against the ({n_points}, {n_out}) network "
+            f"output{hint}")
+    raise ValueError(
+        f"initial_condition returned a rank-{ic.ndim} array; expected "
+        "scalar, 1-D, or 2-D")
+
+
 class Model:
     """Base model: problem dimensionality, condition parsing, and the ansatz.
 
@@ -71,10 +113,20 @@ class Model:
         elif callable(initial_condition):
             self.initial_condition = initial_condition
         else:
-            ic_value = np.float32(np.asarray(
+            # Constant IC: a scalar (reference semantics) or a 1-D vector
+            # with one value per solution component (systems).
+            ic_value = np.asarray(
                 initial_condition.detach().cpu().numpy()
-                if hasattr(initial_condition, "detach") else initial_condition
-            ).reshape(()))
+                if hasattr(initial_condition, "detach")
+                else initial_condition, dtype=np.float32)
+            if ic_value.ndim > 1:
+                raise ValueError(
+                    "a non-callable initial_condition must be a scalar or a "
+                    f"1-D per-component vector; got shape {ic_value.shape}")
+            if ic_value.ndim == 1 and ic_value.shape[0] > 1:
+                # Constant vector = per-component by definition; pre-shape to
+                # (1, k) so batch-size coincidences can't reinterpret it.
+                ic_value = ic_value.reshape(1, -1)
             self.initial_condition = lambda *args: jnp.asarray(ic_value)
         self.boundary_condition = boundary_condition
         self.domain = _normalize_domain(domain, ndims)
@@ -218,16 +270,8 @@ class Model:
         if self.initial_condition is not None:
             cols = [xs_spatial[:, i] for i in range(nds)]
             ic = jnp.asarray(self.initial_condition(*cols), self.dtype)
-            n_out = u.shape[1]
-            if ic.ndim == 0:
-                ic = ic.reshape(1, 1)
-            elif ic.ndim == 1:
-                if n_out > 1 and ic.shape[0] == n_out:
-                    # One initial value per solution component (systems of
-                    # equations — superset of the scalar reference).
-                    ic = ic.reshape(1, -1)
-                else:
-                    ic = ic.reshape(-1, 1)  # per-point column (reference)
+            ic = _normalize_ic_shape(ic, n_points=u.shape[0],
+                                     n_out=u.shape[1])
             gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
             u = gate * u + ic
         return u

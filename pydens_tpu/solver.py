@@ -44,6 +44,18 @@ def _leaf_fn(k):
     return lambda ls: ls[k]
 
 
+def _as_residual_list(out):
+    """Normalize an equation callable's return value: one residual or a
+    tuple/list of coupled residuals (systems of equations)."""
+    if isinstance(out, (tuple, list)):
+        return list(out)
+    if not isinstance(out, Expr) and hasattr(out, "__next__"):
+        raise TypeError(
+            "equation returned a generator; return a tuple/list of "
+            "residuals instead")
+    return [out]
+
+
 def _mesh_axes(mesh, n_models):
     """Resolve (data_axis, model_axis) names for a mesh: an axis named
     'models' shards ensemble members (when n_models > 1); the first other
@@ -197,11 +209,8 @@ class Solver:
             coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                       for k in range(total)]
             try:
-                eq_out = self.equation(f, *coords)
-                if isinstance(eq_out, (tuple, list)):
-                    outs = [as_array(r) for r in eq_out]
-                else:
-                    outs = [as_array(eq_out)]
+                outs = [as_array(r)
+                        for r in _as_residual_list(self.equation(f, *coords))]
             except TypeError as err:
                 if "positional argument" in str(err):
                     raise TypeError(
@@ -400,11 +409,8 @@ class Solver:
                     params, jnp.concatenate(ls, axis=1)), ctx)
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
-                out = equation(f, *coords)
-                residuals = (out if isinstance(out, (tuple, list))
-                             else (out,))
                 acc = jnp.zeros_like(leaves[0])
-                for res in residuals:
+                for res in _as_residual_list(equation(f, *coords)):
                     acc = acc + jnp.sum(jnp.abs(as_array(res)), axis=1,
                                         keepdims=True)
             return acc
@@ -421,10 +427,7 @@ class Solver:
                     # The equation may return one residual or a tuple/list of
                     # coupled residuals (systems of equations — a superset of
                     # the scalar-only reference).
-                    out = equation(f, *coords)
-                    residuals = (out if isinstance(out, (tuple, list))
-                                 else (out,))
-                    for res in residuals:
+                    for res in _as_residual_list(equation(f, *coords)):
                         res = as_array(res)
                         if point_weight is not None:
                             # Importance weights from adaptive sampling:
@@ -839,7 +842,8 @@ class Solver:
         """Evaluate the |equation residual| at the supplied points — the
         natural verification diagnostic (how well the PDE is satisfied).
         Accepts the same inputs as :meth:`predict`; for ensembles returns
-        the per-model mean.  Returns an ``(N, 1)`` numpy array."""
+        the per-model mean, for systems the sum over components.  Returns
+        an ``(N, 1)`` numpy array."""
         if self._residual_jit is None:
             _, point_residual = self._build_loss_fn((("equation", 1.0),),
                                                     lambda a, b: 0.0)
@@ -861,8 +865,9 @@ class Solver:
         Accepts the same mixed inputs as the reference
         (``model_torch.py:466-487``): arrays, numbers (tiled to the batch),
         lists — plus a single ``(N, ndims+nparams)`` array of stacked
-        coordinates.  Returns an ``(N, 1)`` numpy array (the ensemble mean
-        when ``n_models > 1``).
+        coordinates.  Returns an ``(N, n_out)`` numpy array, where ``n_out``
+        is the number of solution components (1 for scalar problems); the
+        ensemble mean when ``n_models > 1``.
         """
         out = self._predict_raw(xs)
         if self.n_models > 1:
@@ -870,7 +875,7 @@ class Solver:
         return np.asarray(out)
 
     def predict_all(self, *xs):
-        """Per-model predictions, shape ``(n_models, N, 1)``."""
+        """Per-model predictions, shape ``(n_models, N, n_out)``."""
         out = self._predict_raw(xs)
         if self.n_models == 1:
             out = out[None]
@@ -878,7 +883,7 @@ class Solver:
 
     def predict_std(self, *xs):
         """Ensemble standard deviation — epistemic uncertainty of the
-        learned solution, shape ``(N, 1)``.  Requires ``n_models > 1``."""
+        learned solution, shape ``(N, n_out)``.  Requires ``n_models > 1``."""
         if self.n_models <= 1:
             raise ValueError("predict_std requires Solver(n_models > 1)")
         return np.asarray(jnp.std(self._predict_raw(xs), axis=0))
