@@ -16,7 +16,7 @@ from .ops.math import (sin, cos, tan, arcsin, arccos, arctan, arctan2, sinh,
                        cosh, tanh, exp, expm1, log, log1p, log2, log10, sqrt,
                        square, power, sign, maximum, minimum, where, clip,
                        sigmoid, softplus, erf)
-from .models import Model, ConvBlockModel, TorchModel
+from .models import Model, ConvBlockModel, TorchModel, FlaxModel, flax_model
 from .solver import Solver
 from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
                        HistoSampler, ScipySampler, ProductSampler,
@@ -30,7 +30,7 @@ __all__ = [
     "Solver", "D", "V", "Expr", "lift",
     "grad", "div", "laplace", "hessian_diag", "dn",
     "cart_prod", "uniform_grid",
-    "Model", "ConvBlockModel", "TorchModel",
+    "Model", "ConvBlockModel", "TorchModel", "FlaxModel", "flax_model",
     "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
     "ScipySampler", "ProductSampler", "MixtureSampler",
     "make_mesh",

@@ -2,6 +2,7 @@
 
 from .base import Model, ConvBlockModel, TorchModel
 from .layout import make_layout_network, parse_layout, ACTIVATIONS
+from .flax_adapter import FlaxModel, flax_model
 
 __all__ = ["Model", "ConvBlockModel", "TorchModel", "make_layout_network",
-           "parse_layout", "ACTIVATIONS"]
+           "parse_layout", "ACTIVATIONS", "FlaxModel", "flax_model"]

@@ -12,7 +12,8 @@ import pytest
 EXAMPLES = sorted(
     (pathlib.Path(__file__).parent.parent / "examples").glob("*.py"))
 
-FAST = {"01_simple_ode.py", "05_inverse_problem.py", "06_custom_model.py"}
+FAST = {"01_simple_ode.py", "05_inverse_problem.py", "06_custom_model.py",
+        "08_ensemble_uncertainty.py"}
 
 
 def _run(path):
