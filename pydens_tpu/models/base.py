@@ -284,6 +284,58 @@ class Model:
     def _fusion_enabled(self, batch):
         return False
 
+    # -- Taylor-mode derivative taps (planned fast path) ---------------------
+    network_apply_taylor = None  # set by models that support it
+
+    @property
+    def supports_taylor(self):
+        return self.network_apply_taylor is not None
+
+    def full_taps(self, params, xs, derivs):
+        """All requested pure field taps of the FULL model (network body +
+        ansatz) in one Taylor-mode network traversal.
+
+        ``derivs`` is a set of multi-indices: ``(a,)`` first and ``(a, a)``
+        pure second derivatives w.r.t. coordinate columns.  The network body
+        propagates batched tangents (see ``layout.make_layout_network``'s
+        ``taylor``); the cheap ansatz composes exactly through a per-
+        direction scalar-parameter trick: with ``net_s = V + s*T_a +
+        s^2/2 * S_a`` matching the body's Taylor expansion along ``e_a``,
+        ``d^2/ds^2 anzatc(net_s, x + s e_a)`` at ``s=0`` is exactly the
+        composite's pure second derivative.
+
+        Returns a dict: multi-index -> (N, n_out) array, always including
+        ``()`` (the field value).
+        """
+        first_dirs = sorted({d[0] for d in derivs})
+        second_dirs = sorted({d[0] for d in derivs if len(d) == 2})
+        V, T, S = self.network_apply_taylor(params["net"], xs,
+                                            first_dirs, second_dirs)
+        table = {(): self.anzatc(V, xs, params)}
+        n_total = xs.shape[1]
+        for a in first_dirs:
+            e_a = jnp.zeros((n_total,), self.dtype).at[a].set(1.0)
+            t_a = T[a]
+            s_a = S.get(a)
+
+            def phi(s, t_a=t_a, s_a=s_a, e_a=e_a):
+                net_s = V + s * t_a
+                if s_a is not None:
+                    net_s = net_s + 0.5 * s * s * s_a
+                return self.anzatc(net_s, xs + s * e_a, params)
+
+            d1 = jax.jvp(phi, (jnp.zeros((), self.dtype),),
+                         (jnp.ones((), self.dtype),))[1]
+            table[(a,)] = d1
+            if (a, a) in derivs:
+                d2 = jax.jvp(
+                    lambda s: jax.jvp(phi, (s,),
+                                      (jnp.ones((), self.dtype),))[1],
+                    (jnp.zeros((), self.dtype),),
+                    (jnp.ones((), self.dtype),))[1]
+                table[(a, a)] = d2
+        return table
+
     # -- stateful conveniences ----------------------------------------------
     def _apply_with_variables(self, params, xs):
         with variable_scope("read", params["variables"]):
@@ -354,6 +406,10 @@ class ConvBlockModel(Model):
 
     def network_apply(self, net_params, xs):
         return self._net_apply(net_params, xs)
+
+    def network_apply_taylor(self, net_params, xs, first_dirs, second_dirs):
+        return self._net_apply.taylor(net_params, xs, first_dirs,
+                                      second_dirs)
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

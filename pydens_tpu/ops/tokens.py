@@ -49,12 +49,23 @@ class EvalContext:
     One context is created per equation evaluation (one per training step /
     predict call); every :class:`Expr` built during that evaluation references
     it so that lazy ``.value`` computation sees the right leaves.
+
+    Derivative planning: during the Solver's init-time discovery run the
+    context records which *pure field derivatives* (multi-indices of leaf
+    coordinates applied directly to the field) the equation uses, and whether
+    every ``D`` application is such a pure tap (``plan_ok``).  When the plan
+    holds, the training step computes all taps in ONE Taylor-mode
+    propagation and evaluation reads them from ``table`` instead of
+    re-deriving the network with nested ``jvp``.
     """
 
-    __slots__ = ("leaves",)
+    __slots__ = ("leaves", "derivs", "plan_ok", "table")
 
-    def __init__(self, leaves):
+    def __init__(self, leaves, table=None):
         self.leaves = list(leaves)
+        self.derivs = set()
+        self.plan_ok = True
+        self.table = table  # dict: multi-index tuple -> (N, k) array
 
 
 class Expr:
@@ -74,20 +85,35 @@ class Expr:
     non-differentiable escape hatch is needed.
     """
 
-    __slots__ = ("fn", "ctx", "leaf_index", "_value", "_has_value")
+    __slots__ = ("fn", "ctx", "leaf_index", "deriv", "post", "_value",
+                 "_has_value")
 
-    def __init__(self, fn, ctx, leaf_index=None):
+    def __init__(self, fn, ctx, leaf_index=None, deriv=None, post=None):
         self.fn = fn
         self.ctx = ctx
         self.leaf_index = leaf_index
+        # Pure-field-derivative multi-index (sorted tuple of leaf indices;
+        # () = the field itself).  None = not a pure field tap.
+        self.deriv = deriv
+        # Component selection applied after a table lookup (slicing commutes
+        # with coordinate differentiation, so `f[:, 0:1]` stays a pure tap).
+        self.post = post
         self._value = None
         self._has_value = False
 
     # -- evaluation ---------------------------------------------------------
+    def _eval(self, ls):
+        """Evaluate w.r.t. the given leaves; pure field taps read from the
+        precomputed Taylor table when one is active."""
+        if self.deriv is not None and self.ctx.table is not None:
+            v = self.ctx.table[self.deriv]
+            return self.post(v) if self.post is not None else v
+        return self.fn(ls)
+
     @property
     def value(self):
         if not self._has_value:
-            self._value = self.fn(self.ctx.leaves)
+            self._value = self._eval(self.ctx.leaves)
             self._has_value = True
         return self._value
 
@@ -109,20 +135,19 @@ class Expr:
 
     # -- algebra ------------------------------------------------------------
     def _unary(self, op):
-        fn = self.fn
-        return Expr(lambda ls: op(fn(ls)), self.ctx)
+        return Expr(lambda ls: op(self._eval(ls)), self.ctx)
 
     def _binary(self, other, op, reflected=False):
-        fn = self.fn
         if isinstance(other, Expr):
-            ofn = other.fn
             if reflected:
-                return Expr(lambda ls: op(ofn(ls), fn(ls)), self.ctx)
-            return Expr(lambda ls: op(fn(ls), ofn(ls)), self.ctx)
+                return Expr(lambda ls: op(other._eval(ls), self._eval(ls)),
+                            self.ctx)
+            return Expr(lambda ls: op(self._eval(ls), other._eval(ls)),
+                        self.ctx)
         # Constant w.r.t. the leaves (python number, np/jnp array, tracer).
         if reflected:
-            return Expr(lambda ls: op(other, fn(ls)), self.ctx)
-        return Expr(lambda ls: op(fn(ls), other), self.ctx)
+            return Expr(lambda ls: op(other, self._eval(ls)), self.ctx)
+        return Expr(lambda ls: op(self._eval(ls), other), self.ctx)
 
     def __add__(self, o):
         return self._binary(o, jnp.add)
@@ -170,7 +195,14 @@ class Expr:
         return self._unary(jnp.abs)
 
     def __getitem__(self, idx):
-        return self._unary(lambda v: v[idx])
+        out = self._unary(lambda v: v[idx])
+        if self.deriv is not None:
+            # Component slicing of a pure field tap stays pure.
+            out.deriv = self.deriv
+            prev = self.post
+            out.post = ((lambda v: prev(v)[idx]) if prev is not None
+                        else (lambda v: v[idx]))
+        return out
 
     # Comparisons materialize — they are not differentiable anyway.
     def __lt__(self, o):
@@ -213,7 +245,7 @@ def lift(jfn):
             return jfn(*args, **kwargs)
 
         def fn(ls):
-            vals = [a.fn(ls) if isinstance(a, Expr) else a for a in args]
+            vals = [a._eval(ls) if isinstance(a, Expr) else a for a in args]
             return jfn(*vals, **kwargs)
 
         return Expr(fn, ctx)
@@ -262,6 +294,7 @@ def D(y, x):
 
     k = x.leaf_index
     fn = y.fn
+    ctx = y.ctx
 
     def dfn(ls):
         ls = list(ls)
@@ -269,7 +302,24 @@ def D(y, x):
         tangents[k] = jnp.ones_like(ls[k])
         return jax.jvp(fn, (ls,), (tangents,))[1]
 
-    return Expr(dfn, y.ctx)
+    # Derivative planning: track pure field taps (the field or one of its
+    # pure derivatives, differentiated directly).  Plannable multi-indices
+    # are order <= 2 and non-mixed; anything else — and any D applied to a
+    # composite expression — voids the plan for this context (the nested-jvp
+    # closure above remains the universal fallback).
+    deriv = None
+    if y.deriv is not None:
+        candidate = tuple(sorted(y.deriv + (k,)))
+        if len(candidate) == 1 or (len(candidate) == 2
+                                   and candidate[0] == candidate[1]):
+            deriv = candidate
+            ctx.derivs.add(candidate)
+        else:
+            ctx.plan_ok = False
+    else:
+        ctx.plan_ok = False
+
+    return Expr(dfn, ctx, deriv=deriv, post=y.post if deriv else None)
 
 
 # ---------------------------------------------------------------------------

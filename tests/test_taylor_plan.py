@@ -1,0 +1,172 @@
+"""Taylor-mode derivative planning: the fast path must be numerically
+equivalent to the universal nested-jvp path (loss AND parameter gradients),
+and plan detection must be conservative (fall back whenever the equation's
+derivative structure is outside the plan's scope)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D, V, laplace
+
+
+def _diff_check(solver, total, tol=2e-5):
+    """Planned and fallback loss+grad must match on random params/points."""
+    lt = (("equation", 1.0),)
+    crit = lambda a, b: jnp.mean((a - b) ** 2)
+    loss_plan, _ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
+    pts = jax.random.uniform(jax.random.key(3), (64, total)) * 0.8 + 0.1
+    leaves = [pts[:, i:i + 1] for i in range(total)]
+    params = solver.model.params
+    l1, g1 = jax.value_and_grad(loss_plan)(params, leaves)
+    l2, g2 = jax.value_and_grad(loss_ref)(params, leaves)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=tol)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=tol)
+
+
+def test_poisson_plan_detected_and_exact():
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y) - 5 * pdt.sin(np.pi * (x + y))
+
+    solver = Solver(pde, ndims=2, boundary_condition=1, layout="fa fa fa f",
+                    activation="Tanh", units=[10, 12, 15, 1], seed=0)
+    assert solver._plan_ok
+    assert solver._plan_derivs == {(0,), (0, 0), (1,), (1, 1)}
+    _diff_check(solver, 2)
+
+
+def test_heat_with_ansatz_and_params_exact():
+    def pde(f, x, y, t, a):
+        return D(D(f, x), x) + D(D(f, y), y) - a * D(f, t)
+
+    solver = Solver(pde, ndims=3, nparams=1,
+                    initial_condition=lambda x, y: 10 * x * y * (1 - x) * (1 - y),
+                    boundary_condition=0, layout="fafaf",
+                    features=[16, 16, 1], activation="Sigmoid", seed=0)
+    assert solver._plan_ok
+    _diff_check(solver, 4)
+
+
+def test_nonlinear_burgers_style_plannable():
+    # f * D(f, x) is residual algebra on pure taps — plannable.
+    def burgers(f, x, t):
+        return D(f, t) + f * D(f, x) - 0.01 * D(D(f, x), x)
+
+    solver = Solver(burgers, ndims=2, seed=0, layout="fafaf",
+                    features=[12, 12, 1])
+    assert solver._plan_ok
+    _diff_check(solver, 2)
+
+
+def test_system_with_skip_layout_exact():
+    omega = 2 * np.pi
+
+    def system(f, x):
+        u, v = f[:, 0:1], f[:, 1:2]
+        return (D(u, x) - v, D(v, x) + omega ** 2 * u)
+
+    solver = Solver(system, ndims=1, seed=0, layout="faR fa+ f",
+                    features=[16, 16, 2], activation="Tanh",
+                    initial_condition=np.array([0.0, omega]))
+    assert solver._plan_ok
+    _diff_check(solver, 1)
+
+
+def test_v_token_equation_plannable():
+    def odevar(f, x):
+        return D(f, x) + V("c", data=np.array([1.5])) * f
+
+    solver = Solver(odevar, ndims=1, seed=0)
+    assert solver._plan_ok
+    _diff_check(solver, 1)
+
+
+def test_mixed_derivative_falls_back():
+    def pde(f, x, y):
+        return D(D(f, x), y)  # mixed second derivative: outside the plan
+
+    solver = Solver(pde, ndims=2, seed=0)
+    assert not solver._plan_ok
+    # training still works through the fallback
+    solver.fit(niters=10, batch_size=32, progress=False)
+    assert np.isfinite(solver.losses).all()
+
+
+def test_third_order_falls_back():
+    def pde(f, x):
+        return D(D(D(f, x), x), x)
+
+    solver = Solver(pde, ndims=1, seed=0)
+    assert not solver._plan_ok
+    solver.fit(niters=5, batch_size=16, progress=False)
+
+
+def test_product_rule_coefficient_falls_back():
+    # D applied to a composite expression (cos(x) * f) voids the plan.
+    def pde(f, x):
+        return D(pdt.cos(x) * f, x) - 1.0
+
+    solver = Solver(pde, ndims=1, seed=0)
+    assert not solver._plan_ok
+    solver.fit(niters=5, batch_size=16, progress=False)
+
+
+def test_custom_model_falls_back():
+    from pydens_tpu import Model
+
+    class Tiny(Model):
+        def network_init(self, key):
+            return {"w": jax.random.normal(key, (self.total, 1)) * 0.3}
+
+        def network_apply(self, net, xs):
+            return jnp.tanh(xs @ net["w"])
+
+    solver = Solver(lambda f, x: D(f, x) - 1.0, ndims=1, model=Tiny, seed=0)
+    assert not solver._plan_ok  # no taylor propagation for custom bodies
+    solver.fit(niters=5, batch_size=16, progress=False)
+
+
+def test_constraints_do_not_void_equation_plan():
+    def ode(f, x):
+        return D(f, x) - 1.0
+
+    # constraint uses D too — evaluated via the universal closures, but the
+    # equation's plan must survive.
+    solver = Solver(ode, ndims=1, seed=0,
+                    constraints=lambda f, x: D(f(x), x) - 1.0)
+    assert solver._plan_ok
+    solver.fit(niters=10, batch_size=32,
+               loss_terms=["equation", "constraint_0"], progress=False)
+    assert np.isfinite(solver.losses).all()
+
+
+def test_planned_training_converges_same_as_fallback():
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+    def run(fast):
+        s = Solver(ode, ndims=1, initial_condition=.5, activation="Tanh",
+                   layout="fafaf", features=[12, 10, 1], seed=0)
+        s.fit(niters=300, batch_size=256, lr=0.02, fast_taps=fast,
+              progress=False)
+        return np.asarray(s.losses)
+
+    l_plan = run("auto")
+    l_ref = run(False)
+    # identical RNG stream + exact math => near-identical loss trajectories
+    np.testing.assert_allclose(l_plan, l_ref, rtol=2e-2, atol=1e-4)
+
+
+def test_adaptive_sampling_with_plan():
+    def stiff(f, x):
+        return D(f, x) - 10 * pdt.exp(-50 * (x - 0.5) ** 2)
+
+    solver = Solver(stiff, ndims=1, seed=0)
+    assert solver._plan_ok
+    solver.fit(niters=30, batch_size=64, adaptive=4, progress=False)
+    assert np.isfinite(solver.losses).all()
