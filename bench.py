@@ -44,15 +44,30 @@ def bench_pydens_tpu():
     warm_loss = float(solver.losses[-1])
 
     # Timed: fresh parameters, warm compile cache — the production path.
+    # Best-of-5: the chip sits behind a network tunnel here, and per-fit
+    # round-trip latency varies by tens of ms run-to-run.
     times = []
-    for rep in range(3):
+    for rep in range(5):
         solver.reset(seed=rep + 1)
         t0 = time.perf_counter()
         solver.fit(batch_size=BATCH, niters=NITERS, progress=False,
                    chunk_size=NITERS)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return best, NITERS / best, float(solver.losses[-1]), warm_loss
+    final_loss = float(solver.losses[-1])
+
+    # Sustained device-side throughput: one long dispatch amortizes the
+    # fixed per-fit latency.
+    long_n = 30000
+    solver.reset(seed=99)
+    solver.fit(batch_size=BATCH, niters=long_n, progress=False,
+               chunk_size=long_n)  # warm compile for this length cap
+    solver.reset(seed=100)
+    t0 = time.perf_counter()
+    solver.fit(batch_size=BATCH, niters=long_n, progress=False,
+               chunk_size=long_n)
+    sustained = long_n / (time.perf_counter() - t0)
+    return best, NITERS / best, final_loss, sustained
 
 
 def bench_torch_reference():
@@ -116,7 +131,7 @@ def main():
     except Exception:
         pass
 
-    wall, rate, loss, warm_loss = bench_pydens_tpu()
+    wall, rate, loss, sustained = bench_pydens_tpu()
 
     baseline_rate = None
     vs_baseline = None
@@ -135,6 +150,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "wall_clock_s": round(wall, 4),
         "final_loss": round(loss, 6),
+        "sustained_iters_per_sec": round(sustained, 1),
         "backend": backend,
         "baseline_iters_per_sec": round(baseline_rate, 1)
         if baseline_rate else None,
