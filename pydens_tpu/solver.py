@@ -33,7 +33,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .models import ConvBlockModel
-from .ops.tokens import Expr, EvalContext, variable_scope, as_array
+from .ops.tokens import Expr, EvalContext, variable_scope, as_array, D
 from .utils.criteria import resolve_criterion
 from .utils.optimizers import resolve_optimizer
 
@@ -187,6 +187,7 @@ class Solver:
         self._opt_cache = {}
         self._step_cache = {}
         self._residual_jit = None
+        self._grad_jit = None
 
         # Initialize network parameters, then discover V-token variables with
         # a fake run of model + equation + constraints (superset of the
@@ -897,6 +898,50 @@ class Solver:
                                 self.model.dtype)
         leaves = [xs_concat[:, i:i + 1] for i in range(self.model.total)]
         return np.asarray(self._residual_jit(self.model.params, leaves))
+
+    def predict_grad(self, *xs):
+        """First derivatives of the trained solution w.r.t. every coordinate
+        (and parameter) column, at the supplied points — e.g. flux or
+        velocity fields.
+
+        Returns ``(N, ndims+nparams)`` for scalar problems,
+        ``(N, ndims+nparams, n_out)`` for systems; the ensemble mean when
+        ``n_models > 1``.  Uses the Taylor-mode tap machinery when the model
+        supports it, nested-jvp taps otherwise.
+        """
+        if self._grad_jit is None:
+            model = self.model
+            total = model.total
+
+            def one_model(params, xs_concat):
+                leaves = [xs_concat[:, i:i + 1] for i in range(total)]
+                with variable_scope("read", params["variables"]):
+                    if model.supports_taylor:
+                        derivs = {(a,) for a in range(total)}
+                        table = model.full_taps(params, xs_concat, derivs)
+                        cols = [table[(a,)] for a in range(total)]
+                    else:
+                        ctx = EvalContext(leaves)
+                        f = Expr(lambda ls: model.apply(
+                            params, jnp.concatenate(ls, axis=1)), ctx,
+                            deriv=())
+                        coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
+                                  for k in range(total)]
+                        cols = [D(f, coords[a]).value for a in range(total)]
+                return jnp.stack(cols, axis=1)  # (N, total, n_out)
+
+            if self.n_models > 1:
+                def fn(params, xs_concat):
+                    return jax.vmap(one_model, in_axes=(0, None))(
+                        params, xs_concat).mean(axis=0)
+            else:
+                fn = one_model
+            self._grad_jit = jax.jit(fn)
+
+        xs_concat = jnp.asarray(self.reshape_and_concat(xs),
+                                self.model.dtype)
+        out = np.asarray(self._grad_jit(self.model.params, xs_concat))
+        return out[..., 0] if out.shape[-1] == 1 else out
 
     def predict(self, *xs):
         """Evaluate the trained solution at the supplied points.

@@ -43,6 +43,48 @@ def test_predict_accepts_stacked_grid():
     np.testing.assert_allclose(out, out2, rtol=1e-6)
 
 
+def test_predict_grad_matches_analytic():
+    # train f ~ sin(2*pi*x) + 0.5; f' ~ 2*pi*cos(2*pi*x)
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0,
+                    activation="Tanh", layout="fafaf", features=[12, 10, 1])
+    solver.fit(niters=500, batch_size=400, lr=0.02, progress=False)
+    xs = np.linspace(0.05, 0.95, 50)
+    g = solver.predict_grad(xs)
+    assert g.shape == (50, 1)
+    true = 2 * np.pi * np.cos(2 * np.pi * xs)
+    assert np.max(np.abs(g.ravel() - true)) < 0.6  # |f'| scale ~6.3
+
+
+def test_predict_grad_custom_model_fallback_path():
+    import jax
+    import jax.numpy as jnp
+    from pydens_tpu import Model
+
+    class Tiny(Model):
+        def network_init(self, key):
+            return {"w": jax.random.normal(key, (self.total, 1)) * 0.3}
+
+        def network_apply(self, net, xs):
+            return jnp.tanh(xs @ net["w"])
+
+    solver = Solver(lambda f, x, y: D(f, x) + D(f, y), ndims=2, model=Tiny,
+                    seed=0)
+    g = solver.predict_grad(np.linspace(0, 1, 7), np.linspace(0, 1, 7))
+    assert g.shape == (7, 2)
+    assert np.isfinite(g).all()
+
+
+def test_predict_grad_system_and_ensemble():
+    def system(f, x):
+        return (D(f[:, 0:1], x) - 1.0, D(f[:, 1:2], x) + 1.0)
+
+    solver = Solver(system, ndims=1, seed=0, layout="fa f", features=[8, 2],
+                    n_models=2)
+    g = solver.predict_grad(np.linspace(0, 1, 5))
+    assert g.shape == (5, 1, 2)
+    assert np.isfinite(g).all()
+
+
 def test_fit_zero_iters_noop():
     solver = Solver(_ode, ndims=1, seed=0)
     solver.fit(niters=0, batch_size=8, progress=False)
