@@ -100,7 +100,8 @@ class Model:
     """
 
     def __init__(self, ndims, initial_condition=None, boundary_condition=None,
-                 domain=(0, 1), nparams=0, dtype=jnp.float32, **kwargs):
+                 domain=(0, 1), nparams=0, dtype=jnp.float32,
+                 initial_condition_t=None, **kwargs):
         _ = kwargs
         self.ndims = ndims
         self.ndims_spatial = ndims if initial_condition is None else ndims - 1
@@ -128,6 +129,24 @@ class Model:
                 # (1, k) so batch-size coincidences can't reinterpret it.
                 ic_value = ic_value.reshape(1, -1)
             self.initial_condition = lambda *args: jnp.asarray(ic_value)
+
+        # Optional second initial condition u_t(x, t0) for problems that are
+        # second-order in time (wave equation) — no reference counterpart
+        # (its sigmoid gate binds only u(x, t0)).  Requires
+        # initial_condition to be given too.
+        if initial_condition_t is None:
+            self.initial_condition_t = None
+        else:
+            if initial_condition is None:
+                raise ValueError("initial_condition_t requires "
+                                 "initial_condition")
+            if callable(initial_condition_t):
+                self.initial_condition_t = initial_condition_t
+            else:
+                ict = np.asarray(initial_condition_t, dtype=np.float32)
+                if ict.ndim == 1 and ict.shape[0] > 1:
+                    ict = ict.reshape(1, -1)
+                self.initial_condition_t = lambda *args: jnp.asarray(ict)
         self.boundary_condition = boundary_condition
         self.domain = _normalize_domain(domain, ndims)
 
@@ -273,7 +292,16 @@ class Model:
             ic = _normalize_ic_shape(ic, n_points=u.shape[0],
                                      n_out=u.shape[1])
             gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
-            u = gate * u + ic
+            if self.initial_condition_t is None:
+                u = gate * u + ic
+            else:
+                # Second-order-in-time binding: gate^2 vanishes to second
+                # order at t0, so u(t0) = ic AND u_t(t0) = ic_t exactly.
+                ic_t = jnp.asarray(self.initial_condition_t(*cols),
+                                   self.dtype)
+                ic_t = _normalize_ic_shape(ic_t, n_points=u.shape[0],
+                                           n_out=u.shape[1])
+                u = gate * gate * u + ic + (t - t0) * ic_t
         return u
 
     # -- fused-inference hooks (overridden by ConvBlockModel) ---------------
