@@ -667,7 +667,7 @@ class Solver:
     def fit(self, niters, batch_size, sampler=None, loss_terms="equation",
             optimizer="Adam", criterion="MSELoss", lr=0.005, losses=None,
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
-            adaptive=None, fast_taps="auto", **kwargs):
+            adaptive=None, fast_taps="auto", callback=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -697,7 +697,9 @@ class Solver:
         Taylor-mode derivative fast path (``'auto'`` uses it whenever the
         equation's derivative structure allows — pure field taps of order
         <= 2 on a layout-built network; ``False`` forces the nested-jvp
-        path, e.g. for debugging).
+        path, e.g. for debugging); ``callback(iteration, chunk_losses)``
+        fires after every compiled chunk (forces a device sync — for
+        logging/early-stopping hooks, keep ``chunk_size`` coarse).
         """
         fit_t0 = time.perf_counter()
         if int(niters) <= 0:
@@ -833,6 +835,12 @@ class Solver:
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(n), host_pts)
             all_losses.append((chunk_losses, n))
+            if callback is not None:
+                # Observability hook: called once per compiled chunk with
+                # (global_iteration, np.ndarray of that chunk's losses).
+                # NOTE: reading losses synchronizes with the device.
+                callback(self._step_counter + start + n,
+                         np.asarray(chunk_losses)[:n])
             return carry
 
         carry = (theta, self._opt_state)
