@@ -154,6 +154,7 @@ class Model:
         # `model(...)`, `model.freeze_trainable(...)` work like the reference.
         self.params = None
         self.ensemble_size = 1
+        self.periodic_dims = ()  # set by models with periodic embeddings
         self._frozen_layers = set()
         self._frozen_variables = set()
         self._apply_jit = jax.jit(self._apply_with_variables)
@@ -277,9 +278,13 @@ class Model:
             # Per-dim scalar arithmetic (python-float literals) instead of a
             # (1, nds) constant array: identical math, XLA fuses it the same,
             # and it keeps the whole forward free of array constants so it
-            # can be traced into a Pallas kernel body.
+            # can be traced into a Pallas kernel body.  Periodic dims carry
+            # no Dirichlet product — their boundary behavior comes from the
+            # Fourier input embedding.
             shape_fn = jnp.ones_like(u)
             for i in range(nds):
+                if i in self.periodic_dims:
+                    continue
                 xi = xs_spatial[:, i:i + 1]
                 lo_i, hi_i = lower[i], upper[i]
                 inv_span2 = 1.0 / ((hi_i - lo_i) * (hi_i - lo_i))
@@ -415,7 +420,7 @@ class ConvBlockModel(Model):
     def __init__(self, ndims, initial_condition=None, boundary_condition=None,
                  domain=(0, 1), nparams=0, layout="fafaf",
                  features=(20, 30, 1), activation="Sigmoid", units=None,
-                 dtype=jnp.float32, **kwargs):
+                 dtype=jnp.float32, periodic=None, **kwargs):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
@@ -424,20 +429,74 @@ class ConvBlockModel(Model):
         self.layout = layout
         self.features = list(features)
         self.activation = activation
+
+        # Periodic spatial dimensions: a Fourier input embedding
+        # x_i -> (sin, cos)(2*pi*(x_i - lo)/(hi - lo)) makes the solution
+        # AND all its derivatives exactly periodic in those dims (no
+        # reference counterpart; the standard exact-periodicity device).
+        if periodic is True:
+            periodic = tuple(range(self.ndims_spatial))
+        self.periodic_dims = tuple(sorted(periodic)) if periodic else ()
+        for d in self.periodic_dims:
+            if d >= self.ndims_spatial:
+                raise ValueError(
+                    f"periodic dim {d} is not a spatial dimension "
+                    f"(ndims_spatial={self.ndims_spatial})")
+        if (boundary_condition is not None and self.periodic_dims
+                and len(self.periodic_dims) == self.ndims_spatial):
+            raise ValueError(
+                "boundary_condition has no effect when every spatial "
+                "dimension is periodic — drop one of the two")
+        in_dim = self.total + len(self.periodic_dims)
+
         self._net_init, self._net_apply, self.layer_names = \
             make_layout_network(layout, self.features, activation,
-                                in_dim=self.total, dtype=dtype)
+                                in_dim=in_dim, dtype=dtype)
         self._fused_apply = None
+
+    def _embed(self, xs):
+        """Input embedding: periodic dims expand to (sin, cos) pairs."""
+        if not self.periodic_dims:
+            return xs
+        cols = []
+        for i in range(self.total):
+            xi = xs[:, i:i + 1]
+            if i in self.periodic_dims:
+                lo, hi = self.domain[i]
+                w = 2.0 * np.pi / (float(hi) - float(lo))
+                phase = w * (xi - float(lo))
+                cols.append(jnp.sin(phase))
+                cols.append(jnp.cos(phase))
+            else:
+                cols.append(xi)
+        return jnp.concatenate(cols, axis=1)
 
     def network_init(self, key):
         return self._net_init(key)
 
     def network_apply(self, net_params, xs):
-        return self._net_apply(net_params, xs)
+        return self._net_apply(net_params, self._embed(xs))
 
     def network_apply_taylor(self, net_params, xs, first_dirs, second_dirs):
-        return self._net_apply.taylor(net_params, xs, first_dirs,
-                                      second_dirs)
+        init = None
+        if self.periodic_dims:
+            # Taylor state of the embedding w.r.t. the original coordinates
+            # (cheap elementwise jvp taps), fed into the network traversal.
+            V0 = self._embed(xs)
+            T0, S0 = {}, {}
+            for a in first_dirs:
+                e_a = jnp.zeros_like(xs).at[:, a].set(1.0)
+                _, t = jax.jvp(self._embed, (xs,), (e_a,))
+                T0[a] = t
+            for a in second_dirs:
+                e_a = jnp.zeros_like(xs).at[:, a].set(1.0)
+                _, s = jax.jvp(
+                    lambda z: jax.jvp(self._embed, (z,), (e_a,))[1],
+                    (xs,), (e_a,))
+                S0[a] = s
+            init = (V0, T0, S0)
+        return self._net_apply.taylor(net_params, self._embed(xs),
+                                      first_dirs, second_dirs, init=init)
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

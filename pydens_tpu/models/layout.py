@@ -211,7 +211,7 @@ def make_layout_network(layout, features, activation, in_dim,
                 h = h + stack.pop()
         return h
 
-    def taylor(params, x, first_dirs, second_dirs):
+    def taylor(params, x, first_dirs, second_dirs, init=None):
         """Single-traversal Taylor-mode propagation: the network value plus
         all first/second directional derivatives along coordinate axes, in
         ONE pass with batched-tangent matmuls.
@@ -233,19 +233,31 @@ def make_layout_network(layout, features, activation, in_dim,
         second_dirs : sequence of int
             Coordinate indices whose pure second derivatives are needed
             (must be a subset of ``first_dirs``).
+        init : (V, T, S), optional
+            Initial Taylor state when the network input is a transform of
+            the coordinates (e.g. a periodic Fourier embedding): the
+            embedded values plus their first/second directional derivatives
+            w.r.t. the ORIGINAL coordinates.  Default: identity (one-hot
+            tangents, zero curvature).
 
         Returns
         -------
         (V, T, S): value ``(N, out)``, dict dir -> first tangent, dict
         dir -> pure second tangent.
         """
-        n = x.shape[0]
-        in_dim = x.shape[1]
-        V = x
-        T = {a: jnp.broadcast_to(
-                jnp.zeros((in_dim,), x.dtype).at[a].set(1.0), (n, in_dim))
-             for a in first_dirs}
-        S = {a: jnp.zeros((n, in_dim), x.dtype) for a in second_dirs}
+        if init is not None:
+            V, T, S = init
+            T = dict(T)
+            S = dict(S)
+        else:
+            n = x.shape[0]
+            in_dim = x.shape[1]
+            V = x
+            T = {a: jnp.broadcast_to(
+                    jnp.zeros((in_dim,), x.dtype).at[a].set(1.0),
+                    (n, in_dim))
+                 for a in first_dirs}
+            S = {a: jnp.zeros((n, in_dim), x.dtype) for a in second_dirs}
         t_keys = list(first_dirs)
         s_keys = list(second_dirs)
         stack = []
