@@ -289,7 +289,19 @@ class Model:
                 lo_i, hi_i = lower[i], upper[i]
                 inv_span2 = 1.0 / ((hi_i - lo_i) * (hi_i - lo_i))
                 shape_fn = shape_fn * ((xi - lo_i) * (hi_i - xi) * inv_span2)
-            u = u * shape_fn + self.boundary_condition
+            if callable(self.boundary_condition):
+                # Non-constant Dirichlet data (superset of the reference's
+                # constant-only bc): the callable is a smooth extension of
+                # the boundary values into the domain, evaluated on the
+                # spatial columns.
+                bc_cols = [xs_spatial[:, i] for i in range(nds)]
+                bc = jnp.asarray(self.boundary_condition(*bc_cols),
+                                 self.dtype)
+                bc = _normalize_ic_shape(bc, n_points=u.shape[0],
+                                         n_out=u.shape[1])
+            else:
+                bc = self.boundary_condition
+            u = u * shape_fn + bc
 
         if self.initial_condition is not None:
             cols = [xs_spatial[:, i] for i in range(nds)]

@@ -723,9 +723,11 @@ class Solver:
         # _build_step_fn), so its state is a couple of flat arrays.
         fresh_optimizer = optimizer is not None
         if fresh_optimizer:
+            # lr may be an optax schedule (callable) — key by identity then.
+            lr_token = float(lr) if isinstance(lr, (int, float)) else id(lr)
             opt_token = (str(optimizer) if isinstance(optimizer, str)
                          else id(optimizer),
-                         float(lr), tuple(sorted(kwargs.items())))
+                         lr_token, tuple(sorted(kwargs.items())))
             if opt_token not in self._opt_cache:
                 self._opt_cache[opt_token] = resolve_optimizer(
                     optimizer, lr, kwargs)
@@ -860,7 +862,9 @@ class Solver:
             "optimizer": (optimizer if isinstance(optimizer, str)
                           else "reused" if optimizer is None
                           else type(optimizer).__name__),
-            "lr": lr, "loss_terms": list(loss_terms),
+            "lr": (lr if isinstance(lr, (int, float))
+                   else getattr(lr, "__name__", "schedule")),
+            "loss_terms": list(loss_terms),
             "resample": bool(resample),
             "wall_time_s": time.perf_counter() - fit_t0,
             "first_loss": float(fit_losses[0]),
