@@ -41,7 +41,6 @@ def bench_pydens_tpu():
     # the loop's trip count is dynamic, so any niters reuses this compile.
     solver.fit(batch_size=BATCH, niters=NITERS, progress=False,
                chunk_size=NITERS)
-    warm_loss = float(solver.losses[-1])
 
     # Timed: fresh parameters, warm compile cache — the production path.
     # Best-of-5: the chip sits behind a network tunnel here, and per-fit

@@ -7,7 +7,7 @@ system with an exactly-bound vector initial condition.
 
 import numpy as np
 
-import pydens_tpu as pdt
+
 from pydens_tpu import Solver, D
 
 

@@ -102,6 +102,14 @@ class Model:
     def __init__(self, ndims, initial_condition=None, boundary_condition=None,
                  domain=(0, 1), nparams=0, dtype=jnp.float32,
                  initial_condition_t=None, **kwargs):
+        if "periodic" in kwargs:
+            # Only models that implement the Fourier embedding may accept
+            # this; swallowing it would silently produce a non-periodic
+            # solution the user believes is periodic by construction.
+            raise ValueError(
+                f"{type(self).__name__} does not support periodic= — "
+                "use ConvBlockModel or implement the embedding in your "
+                "model body")
         _ = kwargs
         self.ndims = ndims
         self.ndims_spatial = ndims if initial_condition is None else ndims - 1
@@ -155,6 +163,11 @@ class Model:
         self.params = None
         self.ensemble_size = 1
         self.periodic_dims = ()  # set by models with periodic embeddings
+        # Frozen interpretation of 1-D callable condition outputs
+        # ('per_point' | 'per_component'), decided at the Solver's discovery
+        # run (batch size 1, which disambiguates) and reused afterwards so a
+        # later batch size that happens to equal n_out can't flip it.
+        self._cond_modes = {}
         self._frozen_layers = set()
         self._frozen_variables = set()
         self._apply_jit = jax.jit(self._apply_with_variables)
@@ -246,6 +259,29 @@ class Model:
     freeze_layers = freeze_trainable
     unfreeze_layers = unfreeze_trainable
 
+    def _normalize_cond(self, key, val, n_points, n_out):
+        """Shape-normalize a condition value with a sticky interpretation
+        for 1-D callable outputs (see ``_cond_modes``)."""
+        if val.ndim != 1:
+            return _normalize_ic_shape(val, n_points, n_out)
+        mode = self._cond_modes.get(key)
+        if mode is None:
+            out = _normalize_ic_shape(val, n_points, n_out)
+            self._cond_modes[key] = ("per_point" if out.shape[1] == 1
+                                     else "per_component")
+            return out
+        if mode == "per_component":
+            if val.shape[0] != n_out:
+                raise ValueError(
+                    f"{key} returned shape {val.shape}; expected one value "
+                    f"per solution component ({n_out})")
+            return val.reshape(1, -1)
+        if val.shape[0] not in (n_points, 1):
+            raise ValueError(
+                f"{key} returned shape {val.shape}; expected one value per "
+                f"point ({n_points})")
+        return val.reshape(-1, 1)
+
     # -- forward + ansatz ---------------------------------------------------
     def apply(self, params, xs):
         """Full forward: network body then ansatz. ``xs`` is ``(N, total)``."""
@@ -297,8 +333,8 @@ class Model:
                 bc_cols = [xs_spatial[:, i] for i in range(nds)]
                 bc = jnp.asarray(self.boundary_condition(*bc_cols),
                                  self.dtype)
-                bc = _normalize_ic_shape(bc, n_points=u.shape[0],
-                                         n_out=u.shape[1])
+                bc = self._normalize_cond("boundary_condition", bc,
+                                          u.shape[0], u.shape[1])
             else:
                 bc = self.boundary_condition
             u = u * shape_fn + bc
@@ -306,8 +342,8 @@ class Model:
         if self.initial_condition is not None:
             cols = [xs_spatial[:, i] for i in range(nds)]
             ic = jnp.asarray(self.initial_condition(*cols), self.dtype)
-            ic = _normalize_ic_shape(ic, n_points=u.shape[0],
-                                     n_out=u.shape[1])
+            ic = self._normalize_cond("initial_condition", ic,
+                                      u.shape[0], u.shape[1])
             gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
             if self.initial_condition_t is None:
                 u = gate * u + ic
@@ -316,8 +352,8 @@ class Model:
                 # order at t0, so u(t0) = ic AND u_t(t0) = ic_t exactly.
                 ic_t = jnp.asarray(self.initial_condition_t(*cols),
                                    self.dtype)
-                ic_t = _normalize_ic_shape(ic_t, n_points=u.shape[0],
-                                           n_out=u.shape[1])
+                ic_t = self._normalize_cond("initial_condition_t", ic_t,
+                                            u.shape[0], u.shape[1])
                 u = gate * gate * u + ic + (t - t0) * ic_t
         return u
 
@@ -465,6 +501,11 @@ class ConvBlockModel(Model):
             make_layout_network(layout, self.features, activation,
                                 in_dim=in_dim, dtype=dtype)
         self._fused_apply = None
+        if not self._net_apply.taylor_ok:
+            # Non-elementwise activation: the Taylor fast path would be
+            # silently wrong — disable it (shadows the class method, so
+            # supports_taylor reports False and everything falls back).
+            self.network_apply_taylor = None
 
     def _embed(self, xs):
         """Input embedding: periodic dims expand to (sin, cos) pairs."""
@@ -515,7 +556,7 @@ class ConvBlockModel(Model):
             from ..ops.pallas_mlp import make_fused_mlp_forward
             self._fused_apply = make_fused_mlp_forward(
                 self.layout, self._net_apply.activations, self.layer_names)
-        return self._fused_apply(net_params, xs)
+        return self._fused_apply(net_params, self._embed(xs))
 
     def _fusion_enabled(self, batch):
         """Whether inference should use the fused Pallas chain.

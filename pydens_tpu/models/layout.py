@@ -60,6 +60,22 @@ ACTIVATIONS = {
 _VALID_TOKENS = frozenset("fac R +".replace(" ", "") + "R+")
 
 
+def _is_elementwise(act):
+    """Whether an activation has a diagonal Jacobian (acts elementwise) —
+    checked numerically once at build time: for elementwise f,
+    ``J·u == (J·1) * u`` for any tangent u."""
+    try:
+        x = jnp.asarray(np.linspace(-1.2, 1.1, 6).reshape(2, 3), jnp.float32)
+        u = jnp.asarray(np.linspace(0.3, 2.1, 6).reshape(2, 3), jnp.float32)
+        y, ju = jax.jvp(act, (x,), (u,))
+        _, j1 = jax.jvp(act, (x,), (jnp.ones_like(x),))
+        if y.shape != x.shape:
+            return False
+        return bool(jnp.allclose(ju, j1 * u, rtol=1e-4, atol=1e-5))
+    except Exception:
+        return False
+
+
 def resolve_activation(act):
     """Resolve an activation spec (str, callable, or class) to a jnp callable."""
     if isinstance(act, str):
@@ -152,6 +168,12 @@ def make_layout_network(layout, features, activation, in_dim,
         acts = [resolve_activation(activation)] * n_act
 
     layer_names = [f"fc{i + 1}" for i in range(n_dense)]
+
+    # The Taylor fast path extracts sigma'/sigma'' as J·1 via jvp-with-ones,
+    # which is only valid for ELEMENTWISE activations (diagonal Jacobians).
+    # Probe each resolved activation once; feature-mixing callables (e.g.
+    # softmax) disable the plan rather than silently corrupting derivatives.
+    taylor_ok = all(_is_elementwise(a) for a in set(acts))
 
     # Infer per-layer input dims by a symbolic pass over the tokens.
     in_dims = []
@@ -303,5 +325,6 @@ def make_layout_network(layout, features, activation, in_dim,
     apply.activations = acts
     apply.layer_names = layer_names
     apply.taylor = taylor
+    apply.taylor_ok = taylor_ok
 
     return init, apply, layer_names

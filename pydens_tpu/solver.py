@@ -837,28 +837,46 @@ class Solver:
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(n), host_pts)
             all_losses.append((chunk_losses, n))
-            if callback is not None:
-                # Observability hook: called once per compiled chunk with
-                # (global_iteration, np.ndarray of that chunk's losses).
-                # NOTE: reading losses synchronizes with the device.
-                callback(self._step_counter + start + n,
-                         np.asarray(chunk_losses)[:n])
-            return carry
+            return carry, chunk_losses, n
 
         carry = (theta, self._opt_state)
         all_losses = []
-        with profile_ctx:
-            for start in iterator:
-                carry = run_one_chunk(carry, start)
-        self._step_counter += niters
+        iters_run = 0
+        try:
+            with profile_ctx:
+                for start in iterator:
+                    # `carry` must be reassigned before the callback can
+                    # raise: the previous carry's buffers were donated to
+                    # the device call and are dead.
+                    carry, chunk_losses, n = run_one_chunk(carry, start)
+                    iters_run = min(niters, start + chunk)
+                    stop = False
+                    if callback is not None:
+                        # Observability / early-stopping hook: called once
+                        # per compiled chunk with (global_iteration,
+                        # np.ndarray of that chunk's losses); return truthy
+                        # to stop the fit cleanly.  NOTE: reading losses
+                        # synchronizes with the device.
+                        stop = bool(callback(
+                            self._step_counter + iters_run,
+                            np.asarray(chunk_losses)[:n]))
+                    if stop:
+                        break
+        finally:
+            # Commit whatever completed — a raising callback (or any other
+            # mid-fit error at a chunk boundary) must not discard the
+            # trained state.
+            self._step_counter += iters_run
+            theta, self._opt_state = carry
+            self.model.params = self._unflatten_jit(theta)
+            if all_losses:
+                self.losses.extend(np.concatenate(
+                    [np.asarray(l)[:n] for l, n in all_losses]).tolist())
 
-        theta, self._opt_state = carry
-        self.model.params = self._unflatten_jit(theta)
         fit_losses = np.concatenate(
             [np.asarray(l)[:n] for l, n in all_losses])
-        self.losses.extend(fit_losses.tolist())
         self.history.append({
-            "niters": niters, "batch_size": int(batch_size),
+            "niters": iters_run, "batch_size": int(batch_size),
             "optimizer": (optimizer if isinstance(optimizer, str)
                           else "reused" if optimizer is None
                           else type(optimizer).__name__),
