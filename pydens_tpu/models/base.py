@@ -376,45 +376,48 @@ class Model:
         """All requested pure field taps of the FULL model (network body +
         ansatz) in one Taylor-mode network traversal.
 
-        ``derivs`` is a set of multi-indices: ``(a,)`` first and ``(a, a)``
-        pure second derivatives w.r.t. coordinate columns.  The network body
-        propagates batched tangents (see ``layout.make_layout_network``'s
-        ``taylor``); the cheap ansatz composes exactly through a per-
-        direction scalar-parameter trick: with ``net_s = V + s*T_a +
-        s^2/2 * S_a`` matching the body's Taylor expansion along ``e_a``,
-        ``d^2/ds^2 anzatc(net_s, x + s e_a)`` at ``s=0`` is exactly the
-        composite's pure second derivative.
+        ``derivs`` is a set of multi-indices: ``(a,)`` first and sorted
+        ``(a, b)`` second derivatives (pure or mixed) w.r.t. coordinate
+        columns.  The network body propagates batched tangents (see
+        ``layout.make_layout_network``'s ``taylor``); the cheap ansatz
+        composes exactly through a bilinear scalar Taylor substitution: with
+        ``net(s, t) = V + s*T_a + t*T_b + s*t*S_ab`` matching the body's
+        cross expansion along ``(e_a, e_b)``,
+        ``d^2/(ds dt) anzatc(net(s,t), x + s e_a + t e_b)`` at 0 is exactly
+        the composite's second derivative (polarization covers ``a == b``).
 
         Returns a dict: multi-index -> (N, n_out) array, always including
         ``()`` (the field value).
         """
-        first_dirs = sorted({d[0] for d in derivs})
-        second_dirs = sorted({d[0] for d in derivs if len(d) == 2})
+        first_dirs = sorted({a for d in derivs for a in d})
+        second_pairs = sorted({d for d in derivs if len(d) == 2})
         V, T, S = self.network_apply_taylor(params["net"], xs,
-                                            first_dirs, second_dirs)
+                                            first_dirs, second_pairs)
         table = {(): self.anzatc(V, xs, params)}
         n_total = xs.shape[1]
+        zero = jnp.zeros((), self.dtype)
+        one = jnp.ones((), self.dtype)
+
+        def basis(a):
+            return jnp.zeros((n_total,), self.dtype).at[a].set(1.0)
+
         for a in first_dirs:
-            e_a = jnp.zeros((n_total,), self.dtype).at[a].set(1.0)
-            t_a = T[a]
-            s_a = S.get(a)
+            def phi(s, t_a=T[a], e_a=basis(a)):
+                return self.anzatc(V + s * t_a, xs + s * e_a, params)
 
-            def phi(s, t_a=t_a, s_a=s_a, e_a=e_a):
-                net_s = V + s * t_a
-                if s_a is not None:
-                    net_s = net_s + 0.5 * s * s * s_a
-                return self.anzatc(net_s, xs + s * e_a, params)
+            table[(a,)] = jax.jvp(phi, (zero,), (one,))[1]
 
-            d1 = jax.jvp(phi, (jnp.zeros((), self.dtype),),
-                         (jnp.ones((), self.dtype),))[1]
-            table[(a,)] = d1
-            if (a, a) in derivs:
-                d2 = jax.jvp(
-                    lambda s: jax.jvp(phi, (s,),
-                                      (jnp.ones((), self.dtype),))[1],
-                    (jnp.zeros((), self.dtype),),
-                    (jnp.ones((), self.dtype),))[1]
-                table[(a, a)] = d2
+        for (a, b) in second_pairs:
+            def phi2(s, t, t_a=T[a], t_b=T[b], s_ab=S[(a, b)],
+                     e_a=basis(a), e_b=basis(b)):
+                net_st = V + s * t_a + t * t_b + (s * t) * s_ab
+                return self.anzatc(net_st, xs + s * e_a + t * e_b, params)
+
+            d_ab = jax.jvp(
+                lambda s: jax.jvp(lambda t, s=s: phi2(s, t),
+                                  (zero,), (one,))[1],
+                (zero,), (one,))[1]
+            table[(a, b)] = d_ab
         return table
 
     # -- stateful conveniences ----------------------------------------------
@@ -530,7 +533,8 @@ class ConvBlockModel(Model):
     def network_apply(self, net_params, xs):
         return self._net_apply(net_params, self._embed(xs))
 
-    def network_apply_taylor(self, net_params, xs, first_dirs, second_dirs):
+    def network_apply_taylor(self, net_params, xs, first_dirs,
+                             second_pairs):
         init = None
         if self.periodic_dims:
             # Taylor state of the embedding w.r.t. the original coordinates
@@ -541,15 +545,16 @@ class ConvBlockModel(Model):
                 e_a = jnp.zeros_like(xs).at[:, a].set(1.0)
                 _, t = jax.jvp(self._embed, (xs,), (e_a,))
                 T0[a] = t
-            for a in second_dirs:
+            for (a, b) in second_pairs:
                 e_a = jnp.zeros_like(xs).at[:, a].set(1.0)
+                e_b = jnp.zeros_like(xs).at[:, b].set(1.0)
                 _, s = jax.jvp(
-                    lambda z: jax.jvp(self._embed, (z,), (e_a,))[1],
+                    lambda z: jax.jvp(self._embed, (z,), (e_b,))[1],
                     (xs,), (e_a,))
-                S0[a] = s
+                S0[(a, b)] = s
             init = (V0, T0, S0)
         return self._net_apply.taylor(net_params, self._embed(xs),
-                                      first_dirs, second_dirs, init=init)
+                                      first_dirs, second_pairs, init=init)
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

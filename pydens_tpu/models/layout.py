@@ -233,16 +233,18 @@ def make_layout_network(layout, features, activation, in_dim,
                 h = h + stack.pop()
         return h
 
-    def taylor(params, x, first_dirs, second_dirs, init=None):
+    def taylor(params, x, first_dirs, second_pairs, init=None):
         """Single-traversal Taylor-mode propagation: the network value plus
-        all first/second directional derivatives along coordinate axes, in
-        ONE pass with batched-tangent matmuls.
+        all first and second directional derivatives, in ONE pass with
+        batched-tangent matmuls.
 
         Linear layers propagate (value, tangents, second-order terms) through
         one stacked matmul; elementwise activations apply the chain rule with
-        σ'/σ'' obtained generically via ``jax.jvp`` (so any activation
-        works).  This replaces nested-jvp re-traversals of the network for
-        Laplacian/heat/wave-style residuals — measured ~10x faster per
+        σ'/σ'' obtained generically via ``jax.jvp`` (so any elementwise
+        activation works): ``S'_(a,b) = σ''·T_a·T_b + σ'·S_(a,b)`` — the
+        same rule covers pure (a == b) and mixed (a != b) second
+        derivatives.  This replaces nested-jvp re-traversals of the network
+        for Laplacian/heat/wave-style residuals — measured ~10x faster per
         training iteration on TPU at PINN sizes.
 
         Parameters
@@ -252,9 +254,10 @@ def make_layout_network(layout, features, activation, in_dim,
         x : (N, in_dim) array
         first_dirs : sequence of int
             Coordinate indices whose first derivatives are needed.
-        second_dirs : sequence of int
-            Coordinate indices whose pure second derivatives are needed
-            (must be a subset of ``first_dirs``).
+        second_pairs : sequence of (int, int)
+            Sorted index pairs whose second derivatives are needed (pure
+            ``(a, a)`` or mixed ``(a, b)``); both members must appear in
+            ``first_dirs``.
         init : (V, T, S), optional
             Initial Taylor state when the network input is a transform of
             the coordinates (e.g. a periodic Fourier embedding): the
@@ -265,7 +268,7 @@ def make_layout_network(layout, features, activation, in_dim,
         Returns
         -------
         (V, T, S): value ``(N, out)``, dict dir -> first tangent, dict
-        dir -> pure second tangent.
+        pair -> second tangent.
         """
         if init is not None:
             V, T, S = init
@@ -279,9 +282,9 @@ def make_layout_network(layout, features, activation, in_dim,
                     jnp.zeros((in_dim,), x.dtype).at[a].set(1.0),
                     (n, in_dim))
                  for a in first_dirs}
-            S = {a: jnp.zeros((n, in_dim), x.dtype) for a in second_dirs}
+            S = {p: jnp.zeros((n, in_dim), x.dtype) for p in second_pairs}
         t_keys = list(first_dirs)
-        s_keys = list(second_dirs)
+        s_keys = list(second_pairs)
         stack = []
         di_, ai_ = 0, 0
         ones_like = jnp.ones_like
@@ -305,7 +308,8 @@ def make_layout_network(layout, features, activation, in_dim,
                     d2 = jax.jvp(
                         lambda z: jax.jvp(act, (z,), (ones_like(z),))[1],
                         (V,), (ones_like(V),))[1]
-                    S = {a: d2 * T[a] * T[a] + d1 * S[a] for a in s_keys}
+                    S = {p: d2 * T[p[0]] * T[p[1]] + d1 * S[p]
+                         for p in s_keys}
                 V = sV
                 T = {a: d1 * T[a] for a in t_keys}
                 ai_ += 1

@@ -303,15 +303,14 @@ def D(y, x):
         return jax.jvp(fn, (ls,), (tangents,))[1]
 
     # Derivative planning: track pure field taps (the field or one of its
-    # pure derivatives, differentiated directly).  Plannable multi-indices
-    # are order <= 2 and non-mixed; anything else — and any D applied to a
+    # derivatives, differentiated directly).  Plannable multi-indices are
+    # order <= 2 (pure AND mixed); order >= 3 — and any D applied to a
     # composite expression — voids the plan for this context (the nested-jvp
     # closure above remains the universal fallback).
     deriv = None
     if y.deriv is not None:
         candidate = tuple(sorted(y.deriv + (k,)))
-        if len(candidate) == 1 or (len(candidate) == 2
-                                   and candidate[0] == candidate[1]):
+        if len(candidate) <= 2:
             deriv = candidate
             ctx.derivs.add(candidate)
         else:

@@ -86,15 +86,27 @@ def test_v_token_equation_plannable():
     _diff_check(solver, 1)
 
 
-def test_mixed_derivative_falls_back():
+def test_mixed_derivative_planned_and_exact():
     def pde(f, x, y):
-        return D(D(f, x), y)  # mixed second derivative: outside the plan
+        return D(D(f, x), y) + 0.5 * D(D(f, x), x) - f
 
-    solver = Solver(pde, ndims=2, seed=0)
-    assert not solver._plan_ok
-    # training still works through the fallback
+    solver = Solver(pde, ndims=2, seed=0, layout="fafaf",
+                    features=[10, 10, 1], activation="Tanh")
+    assert solver._plan_ok
+    assert (0, 1) in solver._plan_derivs
+    _diff_check(solver, 2)
     solver.fit(niters=10, batch_size=32, progress=False)
     assert np.isfinite(solver.losses).all()
+
+
+def test_mixed_derivative_planned_with_periodic_embedding():
+    def pde(f, x, y):
+        return D(D(f, x), y) - 1.0
+
+    solver = Solver(pde, ndims=2, seed=0, periodic=(0,), layout="fafaf",
+                    features=[8, 8, 1], initial_condition=0.0)
+    assert solver._plan_ok
+    _diff_check(solver, 2)
 
 
 def test_third_order_falls_back():
