@@ -378,7 +378,10 @@ class Solver:
         """Forward closure handed to constraints: evaluates the model at
         arbitrary points.  If any argument is a coordinate expression, the
         result is a differentiable :class:`Expr`, so ``D`` works inside
-        constraints too (a superset of the reference's ``_forward``)."""
+        constraints too.  ``fwd.grad(*pts, wrt=k)`` evaluates the solution's
+        derivative w.r.t. coordinate column ``k`` at fixed points — the
+        building block for Neumann/Robin boundary conditions (superset of
+        the reference's ``_forward``, ``model_torch.py:451-457``)."""
         model = self.model
 
         def fwd(*pts):
@@ -390,6 +393,14 @@ class Solver:
                 return Expr(fn, ctx)
             return model.apply(params, self._concat_traced(list(pts)))
 
+        def fwd_grad(*pts, wrt=0):
+            xs_c = self._concat_traced(
+                [p.value if isinstance(p, Expr) else p for p in pts])
+            tangent = jnp.zeros_like(xs_c).at[:, wrt].set(1.0)
+            return jax.jvp(lambda z: model.apply(params, z),
+                           (xs_c,), (tangent,))[1]
+
+        fwd.grad = fwd_grad
         return fwd
 
     # ------------------------------------------------------------------
