@@ -20,7 +20,7 @@ from .models import Model, ConvBlockModel, TorchModel, FlaxModel, flax_model
 from .solver import Solver
 from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
                        HistoSampler, ScipySampler, ProductSampler,
-                       MixtureSampler)
+                       MixtureSampler, GeometrySampler, BoundarySampler)
 from .parallel import make_mesh
 from .utils.grids import cart_prod, uniform_grid
 
@@ -32,7 +32,8 @@ __all__ = [
     "cart_prod", "uniform_grid",
     "Model", "ConvBlockModel", "TorchModel", "FlaxModel", "flax_model",
     "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
-    "ScipySampler", "ProductSampler", "MixtureSampler",
+    "ScipySampler", "ProductSampler", "MixtureSampler", "GeometrySampler",
+    "BoundarySampler",
     "make_mesh",
     "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
     "cosh", "tanh", "exp", "expm1", "log", "log1p", "log2", "log10", "sqrt",

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["Sampler", "NumpySampler", "ConstantSampler", "HistoSampler",
-           "ScipySampler", "ProductSampler", "MixtureSampler", "NS"]
+           "ScipySampler", "ProductSampler", "MixtureSampler", "NS",
+           "GeometrySampler", "BoundarySampler"]
 
 
 class Sampler:
@@ -318,6 +319,100 @@ class HistoSampler(Sampler):
         lo = jnp.asarray(self._lo, jnp.float32)[flat]
         hi = jnp.asarray(self._hi, jnp.float32)[flat]
         return lo + u * (hi - lo)
+
+
+class GeometrySampler(Sampler):
+    """Collocation points on an arbitrary geometry given by an indicator
+    function — non-rectangular domains (the reference and the rebuild's
+    ansatz bind conditions on boxes only; on general geometries boundary
+    conditions are expressed as constraints with boundary samplers).
+
+    Parameters
+    ----------
+    inside : callable
+        ``inside(points) -> bool array`` over ``(N, ndims)`` points; must be
+        jnp-traceable for the device path (numpy works for host-only use).
+    bbox : sequence of (lo, hi)
+        Bounding box to propose candidates from.
+    oversample : int
+        Candidate multiplier.  Host sampling rejects and redraws until the
+        batch is full; device sampling (inside the compiled loop) draws
+        ``oversample * size`` candidates once and fills the batch with valid
+        ones — if fewer than ``size`` candidates land inside, valid points
+        are repeated (raise ``oversample`` for thin geometries).
+
+    Example (unit disk)::
+
+        disk = GeometrySampler(lambda p: (p ** 2).sum(-1) <= 1.0,
+                               bbox=[(-1, 1), (-1, 1)])
+    """
+
+    def __init__(self, inside, bbox, oversample=4, seed=None):
+        self.inside = inside
+        self.bbox = [tuple(map(float, b)) for b in bbox]
+        self.ndims = len(self.bbox)
+        self.oversample = int(oversample)
+        self._rng = np.random.default_rng(seed)
+
+    def _propose_host(self, n):
+        lo = np.asarray([b[0] for b in self.bbox])
+        hi = np.asarray([b[1] for b in self.bbox])
+        return self._rng.uniform(lo, hi, (n, self.ndims))
+
+    def sample(self, size):
+        out = np.empty((0, self.ndims), np.float64)
+        for _ in range(100):
+            cand = self._propose_host(self.oversample * size)
+            mask = np.asarray(self.inside(cand)).astype(bool).reshape(-1)
+            out = np.vstack([out, cand[mask]])
+            if len(out) >= size:
+                return out[:size]
+        raise RuntimeError(
+            "GeometrySampler: indicator accepted too few points — is the "
+            "bbox right?")
+
+    def sample_device(self, key, size):
+        n_cand = self.oversample * size
+        lo = jnp.asarray([b[0] for b in self.bbox], jnp.float32)
+        hi = jnp.asarray([b[1] for b in self.bbox], jnp.float32)
+        cand = jax.random.uniform(key, (n_cand, self.ndims),
+                                  jnp.float32, 0.0, 1.0) * (hi - lo) + lo
+        valid = jnp.asarray(self.inside(cand)).reshape(-1)
+        # Stable-order compaction: indices of valid candidates first; fill
+        # the batch by cycling through them (duplicates only when fewer
+        # than `size` candidates landed inside).
+        order = jnp.argsort(~valid, stable=True)
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        take = jnp.arange(size) % n_valid
+        return cand[order[take]]
+
+
+class BoundarySampler(Sampler):
+    """Points on a parametrized boundary: ``surface(u) -> (N, ndims)`` maps
+    uniform samples on ``[0, 1]^udim`` onto the boundary — the companion of
+    :class:`GeometrySampler` for constraint-based boundary conditions.
+
+    Example (unit circle)::
+
+        circle = BoundarySampler(
+            lambda u: jnp.concatenate([jnp.cos(2*jnp.pi*u),
+                                       jnp.sin(2*jnp.pi*u)], axis=1),
+            ndims=2)
+    """
+
+    def __init__(self, surface, ndims, udim=1, seed=None):
+        self.surface = surface
+        self.ndims = int(ndims)
+        self.udim = int(udim)
+        self._rng = np.random.default_rng(seed)
+
+    def sample(self, size):
+        u = self._rng.uniform(size=(size, self.udim))
+        return np.asarray(self.surface(u)).reshape(size, self.ndims)
+
+    def sample_device(self, key, size):
+        u = jax.random.uniform(key, (size, self.udim), jnp.float32)
+        return jnp.asarray(self.surface(u)).reshape(size, self.ndims)
 
 
 class ProductSampler(Sampler):

@@ -904,19 +904,24 @@ class Solver:
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
-    def _predict_raw(self, xs):
+    def _normalize_inputs(self, xs):
+        """Evaluation-input normalization shared by predict / residual /
+        predict_grad: mixed per-column inputs (reference semantics) or one
+        stacked ``(N, total)`` grid; validates the column count."""
         if (len(xs) == 1 and hasattr(xs[0], "ndim") and xs[0].ndim == 2
                 and xs[0].shape[1] == self.model.total > 1):
-            # A single (N, total) grid of stacked coordinates.
             xs_concat = np.asarray(xs[0], np.float32)
         else:
             xs_concat = self.reshape_and_concat(xs)
         if xs_concat.shape[1] != self.model.total:
             raise ValueError(
-                f"predict received {xs_concat.shape[1]} coordinate columns "
-                f"but the problem has ndims+nparams={self.model.total}")
-        return self.model.predict_apply(
-            self.model.params, jnp.asarray(xs_concat, self.model.dtype))
+                f"received {xs_concat.shape[1]} coordinate columns but the "
+                f"problem has ndims+nparams={self.model.total}")
+        return jnp.asarray(xs_concat, self.model.dtype)
+
+    def _predict_raw(self, xs):
+        return self.model.predict_apply(self.model.params,
+                                        self._normalize_inputs(xs))
 
     def residual(self, *xs):
         """Evaluate the |equation residual| at the supplied points — the
@@ -935,8 +940,7 @@ class Solver:
             else:
                 res_fn = point_residual
             self._residual_jit = jax.jit(res_fn)
-        xs_concat = jnp.asarray(self.reshape_and_concat(xs),
-                                self.model.dtype)
+        xs_concat = self._normalize_inputs(xs)
         leaves = [xs_concat[:, i:i + 1] for i in range(self.model.total)]
         return np.asarray(self._residual_jit(self.model.params, leaves))
 
@@ -979,8 +983,7 @@ class Solver:
                 fn = one_model
             self._grad_jit = jax.jit(fn)
 
-        xs_concat = jnp.asarray(self.reshape_and_concat(xs),
-                                self.model.dtype)
+        xs_concat = self._normalize_inputs(xs)
         out = np.asarray(self._grad_jit(self.model.params, xs_concat))
         return out[..., 0] if out.shape[-1] == 1 else out
 

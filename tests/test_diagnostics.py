@@ -85,6 +85,27 @@ def test_predict_grad_system_and_ensemble():
     assert np.isfinite(g).all()
 
 
+def test_residual_and_grad_accept_stacked_grid():
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y)
+
+    from pydens_tpu import uniform_grid
+    solver = Solver(pde, ndims=2, boundary_condition=0.5, seed=0)
+    grid = uniform_grid([(0, 1), (0, 1)], 6)  # (36, 2) stacked coordinates
+    r = solver.residual(grid)
+    assert r.shape == (36, 1)
+    np.testing.assert_allclose(r, solver.residual(grid[:, 0:1],
+                                                  grid[:, 1:2]), rtol=1e-6)
+    g = solver.predict_grad(grid)
+    assert g.shape == (36, 2)
+    # wrong column count is a named error, not silent mangling
+    with pytest.raises(ValueError, match="coordinate columns"):
+        solver.residual(np.zeros(5))
+    # ensembles too (this combination used to crash)
+    s2 = Solver(pde, ndims=2, boundary_condition=0.5, seed=0, n_models=2)
+    assert s2.residual(grid).shape == (36, 1)
+
+
 def test_fit_zero_iters_noop():
     solver = Solver(_ode, ndims=1, seed=0)
     solver.fit(niters=0, batch_size=8, progress=False)
