@@ -106,6 +106,15 @@ class Expr:
         """Evaluate w.r.t. the given leaves; pure field taps read from the
         precomputed Taylor table when one is active."""
         if self.deriv is not None and self.ctx.table is not None:
+            if self.deriv not in self.ctx.table:
+                raise KeyError(
+                    f"field derivative {self.deriv} was not planned at "
+                    "Solver construction — the equation callable requested "
+                    "different derivatives than it did during the init-time "
+                    "discovery run.  Equation callables must be "
+                    "deterministic (no randomness/branching that changes "
+                    "which D taps are taken); as a workaround pass "
+                    "fit(fast_taps=False).")
             v = self.ctx.table[self.deriv]
             return self.post(v) if self.post is not None else v
         return self.fn(ls)
