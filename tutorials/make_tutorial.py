@@ -83,7 +83,7 @@ def odeparam(f, x, e):
 
 sampler = NS('u') & NS('u', low=.5, high=5.5)
 solver = Solver(odeparam, ndims=1, nparams=1, initial_condition=2.0)
-solver.fit(niters=5000, batch_size=700, sampler=sampler, lr=0.01)
+solver.fit(niters=2500, batch_size=700, sampler=sampler, lr=0.01)
 
 for eps in (1.0, 2.5, 4.0):
     pred = solver.predict(xs, eps).ravel()
@@ -103,7 +103,7 @@ solver = Solver(heat, ndims=3, nparams=1,
                 boundary_condition=0, layout='fafaf',
                 features=[30, 40, 1], activation='Sigmoid')
 hsampler = NS('u', dim=2) & NS('u', low=0, high=.5) & NS('u', low=.1, high=4)
-solver.fit(niters=1000, batch_size=1500, sampler=hsampler, lr=0.001)
+solver.fit(niters=500, batch_size=1500, sampler=hsampler, lr=0.001)
 
 grid = pdt.uniform_grid([(0, 1), (0, 1)], 40)
 means = [solver.predict(grid[:, 0:1], grid[:, 1:2], t, 1.0).mean()
@@ -147,7 +147,7 @@ def oscillator(f, x):          # u' = v,  v' = -omega^2 u
 solver = Solver(oscillator, ndims=1, activation='Tanh',
                 layout='fa fa f', features=[32, 32, 2],
                 initial_condition=np.array([0.0, omega]), n_models=4)
-solver.fit(niters=2000, batch_size=512, lr=0.01)
+solver.fit(niters=1000, batch_size=512, lr=0.01)
 
 pred = solver.predict(xs)              # ensemble mean, (100, 2)
 std = solver.predict_std(xs)           # epistemic uncertainty
@@ -162,7 +162,7 @@ def stiff(f, x):
 
 adaptive = Solver(stiff, ndims=1, initial_condition=0.0, activation='Tanh',
                   layout='fafaf', features=[32, 32, 1])
-adaptive.fit(niters=1500, batch_size=128, lr=0.01, adaptive=8)
+adaptive.fit(niters=800, batch_size=128, lr=0.01, adaptive=8)
 probe = np.linspace(0, 1, 2000)
 print('mean |residual| with adaptive sampling:',
       adaptive.residual(probe).mean())
