@@ -1,13 +1,14 @@
 """Symbolic (Expr-aware) math functions.
 
 The reference lets users write equation callables with raw ``torch.*`` math
-(``/root/reference/pydens/model_torch.py:205-221`` docstring examples).  In the
-rebuild, plain ``jnp.*`` calls work on coordinate expressions too (via
-``Expr.__jax_array__``) but materialize the value — fine for source terms,
-wrong for coordinate-dependent coefficients *inside* ``D``.  These wrappers
-keep everything symbolic, so ``D(cos(x) * f, x)`` applies the full product
-rule.  They fall through to ``jnp`` on plain arrays, so they are safe to use
-everywhere.
+(``/root/reference/pydens/model_torch.py:205-221`` docstring examples).  In
+the rebuild, raw ``jnp.*`` functions REJECT coordinate expressions (JAX >= 0.9
+removed duck-typed array conversion under trace, and silent materialization
+would constant-fold coordinate-dependent coefficients inside ``D`` anyway).
+Use either these wrappers or the full drop-in namespace
+``import pydens_tpu.numpy as jnp``.  Both keep everything symbolic, so
+``D(cos(x) * f, x)`` applies the full product rule, and fall through to
+``jnp`` on plain arrays, so they are safe to use everywhere.
 """
 
 import jax

@@ -76,10 +76,11 @@ class Expr:
     the full numeric operator protocol; mixing with plain arrays/scalars
     treats them as constants with respect to the leaves.
 
-    Raw ``jnp.*`` functions do NOT accept ``Expr`` objects (JAX >= 0.9 rejects
-    duck-typed array conversion under trace) — use the symbolic math wrappers
-    exported from ``pydens_tpu`` (``sin``, ``cos``, ``exp``, ...) or
-    :func:`lift` instead; they behave identically on plain arrays and keep
+    Raw ``jax.numpy`` functions do NOT accept ``Expr`` objects (JAX >= 0.9
+    rejects duck-typed array conversion under trace) — use the drop-in
+    namespace ``import pydens_tpu.numpy as jnp``, the symbolic math wrappers
+    exported from ``pydens_tpu`` (``sin``, ``cos``, ``exp``, ...), or
+    :func:`lift`; they behave identically on plain arrays and keep
     expressions differentiable, so ``D(cos(x) * f, x)`` applies the full
     product rule.  ``.value`` materializes the current (traced) array when a
     non-differentiable escape hatch is needed.
@@ -137,10 +138,11 @@ class Expr:
     def __repr__(self):
         # jnp.* functions reject Expr operands with "Argument <repr> ... is
         # not a valid JAX type"; make that repr carry the fix.
-        return ("Expr(a pydens_tpu symbolic expression — raw jnp.* math "
-                "cannot consume it; use the symbolic twins exported from "
-                "pydens_tpu, e.g. pydens_tpu.cos instead of jnp.cos, or "
-                "wrap your function with pydens_tpu.lift)")
+        return ("Expr(a pydens_tpu symbolic expression — raw jax.numpy math "
+                "cannot consume it; write equations with "
+                "`import pydens_tpu.numpy as jnp` (drop-in), use the "
+                "symbolic twins exported from pydens_tpu (pydens_tpu.cos "
+                "etc.), or wrap your function with pydens_tpu.lift)")
 
     # -- algebra ------------------------------------------------------------
     def _unary(self, op):

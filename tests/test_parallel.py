@@ -94,13 +94,69 @@ def test_make_mesh_shape_validation():
         make_mesh(shape=(4, 4), axis_names=("models", "data"))
 
 
-def test_mesh_matches_single_device_loss_scale():
-    # Same seed, same config: mesh vs no-mesh runs should see losses of the
-    # same magnitude (identical math, different layout).
+def test_mesh_matches_single_device_numerically():
+    # Same seed, same config: the 8-device data-parallel run must compute
+    # THE SAME math as the single-device run — identical sampled points
+    # (sharding never changes values), so the whole loss trajectory and the
+    # trained solution agree to f32 reduction-order noise.  A silently
+    # replicated batch (dropped sharding constraint) would still pass this,
+    # which is why test_mesh_step_contains_all_reduce exists alongside it.
     kwargs = dict(ndims=1, initial_condition=.5, seed=0,
                   activation="Tanh", layout="fafaf", features=[12, 10, 1])
     s1 = Solver(_ode, **kwargs)
     s1.fit(niters=100, batch_size=256, lr=0.02, progress=False)
     s2 = Solver(_ode, mesh=make_mesh(), **kwargs)
     s2.fit(niters=100, batch_size=256, lr=0.02, progress=False)
-    np.testing.assert_allclose(s1.losses[-1], s2.losses[-1], rtol=0.5)
+    # measured: max rel diff ~4e-6 over the 100-iteration trajectory
+    np.testing.assert_allclose(s1.losses, s2.losses, rtol=1e-4, atol=1e-6)
+    xs = np.linspace(0, 1, 50)
+    np.testing.assert_allclose(s1.predict(xs), s2.predict(xs), atol=1e-5)
+
+
+def _compiled_chunk(solver):
+    """Fetch the (already-fitted) solver's cached jitted chunk runner and a
+    concrete argument tuple for lowering/inspection."""
+    (run_chunk, prep), = solver._step_cache.values()
+    theta, opt_state = prep(solver.model.params)
+    args = ((theta, opt_state), jax.random.key(0), np.int32(0), np.int32(1),
+            np.float32(0.0))
+    return run_chunk, args
+
+
+def test_mesh_step_contains_all_reduce():
+    # SURVEY §2 'Parallelism' prescribes DP with an XLA-inserted gradient
+    # psum — prove the psum exists: the compiled HLO of the mesh training
+    # step must contain cross-device all-reduce ops, and the single-device
+    # step must not (negative control).
+    solver = Solver(_ode, ndims=1, initial_condition=.5, mesh=make_mesh(),
+                    seed=0)
+    solver.fit(niters=1, batch_size=64, progress=False)
+    run_chunk, args = _compiled_chunk(solver)
+    hlo = run_chunk.lower(*args).compile().as_text()
+    assert "all-reduce" in hlo
+
+    single = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    single.fit(niters=1, batch_size=64, progress=False)
+    run_chunk1, args1 = _compiled_chunk(single)
+    assert "all-reduce" not in run_chunk1.lower(*args1).compile().as_text()
+
+
+def test_mesh_carry_shardings():
+    # 1-D data mesh: parameters replicate (spec ()); 2-D ('models','data')
+    # mesh: the ensemble parameter matrix is sharded over 'models'.
+    from jax.sharding import PartitionSpec as P
+
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, mesh=make_mesh(), seed=0)
+    s1.fit(niters=1, batch_size=64, progress=False)
+    run_chunk, args = _compiled_chunk(s1)
+    (theta, _), _ = run_chunk(*args)
+    assert theta.sharding.spec == P()
+
+    mesh2 = make_mesh(shape=(2, 4), axis_names=("models", "data"))
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, mesh=mesh2, seed=0,
+                n_models=4)
+    s2.fit(niters=1, batch_size=64, progress=False)
+    run_chunk2, args2 = _compiled_chunk(s2)
+    (theta2, _), _ = run_chunk2(*args2)
+    assert theta2.sharding.spec == P("models")
+    assert "all-reduce" in run_chunk2.lower(*args2).compile().as_text()
