@@ -133,6 +133,7 @@ def main():
     wall, rate, loss, sustained = bench_pydens_tpu()
 
     baseline_rate = None
+    baseline_loss = None
     vs_baseline = None
     if os.environ.get("BENCH_SKIP_TORCH") != "1":
         try:
@@ -153,6 +154,11 @@ def main():
         "backend": backend,
         "baseline_iters_per_sec": round(baseline_rate, 1)
         if baseline_rate else None,
+        # Loss parity, recorded: the torch loop's final residual loss on the
+        # same workload/iteration budget (see also
+        # benchmarks/bench_loss_parity.py for the 5-workload table).
+        "baseline_final_loss": round(baseline_loss, 6)
+        if baseline_loss is not None else None,
         "config": f"batch {BATCH}, {NITERS} iters, 'fa fa fa f' Tanh "
                   f"[10,12,15,1], bc=1",
     }
