@@ -202,7 +202,24 @@ class Model:
         Frozen layers are addressed by name (``fc1``..., or ``conv_block`` /
         ``net`` for the whole body); frozen variables by name (``log_scale``
         or any V-token variable).
+
+        Names frozen before parameters existed are validated here (the lazy
+        path promised by :meth:`_validate_freeze_names`) — a typo'd name
+        must raise, not be silently ignored forever.
         """
+        unknown_layers = (self._frozen_layers - set(params["net"])
+                          - {"conv_block", "net"})
+        if unknown_layers:
+            raise AttributeError(
+                f"unknown frozen layer(s) {sorted(unknown_layers)}; known "
+                f"layers: {sorted(params['net'])} (or 'conv_block' for the "
+                "whole network body)")
+        unknown_vars = (self._frozen_variables - set(params["variables"])
+                        - {"log_scale"})
+        if unknown_vars:
+            raise AttributeError(
+                f"unknown frozen variable(s) {sorted(unknown_vars)}; known: "
+                f"{sorted(set(params['variables']) | {'log_scale'})}")
         freeze_all_net = bool({"conv_block", "net"} & self._frozen_layers)
 
         def layer_mask(name, subtree):

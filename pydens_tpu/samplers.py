@@ -380,11 +380,35 @@ class GeometrySampler(Sampler):
         valid = jnp.asarray(self.inside(cand)).reshape(-1)
         # Stable-order compaction: indices of valid candidates first; fill
         # the batch by cycling through them (duplicates only when fewer
-        # than `size` candidates landed inside).
+        # than `size` candidates landed inside — check
+        # :meth:`duplication_rate` and raise ``oversample`` for thin
+        # geometries).
         order = jnp.argsort(~valid, stable=True)
-        n_valid = jnp.maximum(jnp.sum(valid), 1)
-        take = jnp.arange(size) % n_valid
-        return cand[order[take]]
+        n_valid_raw = jnp.sum(valid)
+        take = jnp.arange(size) % jnp.maximum(n_valid_raw, 1)
+        picked = cand[order[take]]
+        # Zero valid candidates must be VISIBLE: a NaN batch turns the loss
+        # NaN immediately, instead of silently training on the best-sorted
+        # out-of-domain point.
+        return jnp.where(n_valid_raw > 0, picked,
+                         jnp.full_like(picked, jnp.nan))
+
+    def duplication_rate(self, size, trials=16):
+        """Diagnostic: expected fraction of a device-sampled batch of
+        ``size`` points that is duplicate-filled because fewer than ``size``
+        of the ``oversample * size`` candidates landed inside the geometry.
+
+        Duplicates bias the collocation distribution toward the accepted
+        points; anything above ~0 means ``oversample`` should be raised.
+        Returns the mean rate over ``trials`` candidate draws (host RNG).
+        """
+        rates = []
+        for _ in range(trials):
+            cand = self._propose_host(self.oversample * size)
+            valid = np.asarray(self.inside(jnp.asarray(cand))).reshape(-1)
+            n_valid = int(valid.sum())
+            rates.append(max(0, size - n_valid) / size)
+        return float(np.mean(rates))
 
 
 class BoundarySampler(Sampler):

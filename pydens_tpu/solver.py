@@ -183,6 +183,7 @@ class Solver:
         self._step_counter = 0
         self._opt = None
         self._opt_state = None
+        self._pending_opt_state = None  # set by checkpoint load pre-fit
         self._opt_needs_value_fn = False
         self._opt_cache = {}
         self._step_cache = {}
@@ -300,6 +301,7 @@ class Solver:
         self.losses = []
         self.history = []
         self._opt_state = None
+        self._pending_opt_state = None
         self._opt = None
         self._step_counter = 0
         return self
@@ -320,12 +322,15 @@ class Solver:
         element* (``:355-357``); lists become columns as-is.
         """
         xs = []
+        torch_origin = []
         for x in tensors:
-            if hasattr(x, "detach"):  # torch tensor
+            was_torch = hasattr(x, "detach")  # torch tensor
+            if was_torch:
                 x = x.detach().cpu().numpy()
             elif isinstance(x, jax.Array):
                 x = np.asarray(x)
             xs.append(x)
+            torch_origin.append(was_torch)
 
         sizes = ([int(np.prod(x.shape)) for x in xs
                   if isinstance(x, np.ndarray)]
@@ -334,11 +339,20 @@ class Solver:
         batch_size = int(np.max(sizes)) if sizes else 1
 
         cols = []
-        for x in xs:
+        for x, was_torch in zip(xs, torch_origin):
             if _is_number(x):
                 col = np.tile(np.float32(x), (batch_size, 1))
             elif isinstance(x, np.ndarray):
                 if x.size != batch_size:
+                    if was_torch:
+                        # Quirk parity: the reference `view(-1, 1)`s torch
+                        # tensors WITHOUT tiling, so torch.cat raises on a
+                        # size mismatch (model_torch.py:352-362) — only
+                        # numpy arrays get the first-element tiling quirk.
+                        raise ValueError(
+                            f"torch tensor with {x.size} elements cannot be "
+                            f"concatenated with batch size {batch_size} "
+                            "(sizes must match)")
                     x = np.tile(np.ravel(x)[0], (batch_size, 1))
                 col = np.asarray(x, np.float32).reshape(batch_size, 1)
             elif isinstance(x, (list, tuple)):
@@ -721,6 +735,18 @@ class Solver:
         # name, a list of names (reference surface), or a {name: weight}
         # dict (weighted superset).
         if isinstance(loss_terms, dict):
+            # The {name: weight} dict is a superset surface with no parity
+            # obligation — typo'd names raise instead of silently building a
+            # constant-zero loss.  (The list form keeps the reference's
+            # silent-drop quirk for non-'constraint' unknowns,
+            # model_torch.py:447-449.)
+            import re
+            for k in loss_terms:
+                if (str(k) != "equation"
+                        and not re.fullmatch(r"constraint_?\d+", str(k))):
+                    raise ValueError(
+                        f"unknown loss term {str(k)!r}; expected 'equation' "
+                        "or 'constraint_<k>'")
             loss_terms = tuple((str(k), float(v))
                                for k, v in loss_terms.items())
         else:
@@ -800,6 +826,21 @@ class Solver:
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
             theta, self._opt_state = prep(self.model.params)
+            if self._pending_opt_state is not None:
+                # Checkpoint resume into a fresh solver: `prep` just built
+                # the matching optimizer-state structure; graft the saved
+                # moments onto it so resumed training continues where the
+                # saving run left off (instead of restarting Adam).
+                from flax import serialization
+                try:
+                    self._opt_state = serialization.from_state_dict(
+                        self._opt_state, self._pending_opt_state)
+                except (ValueError, KeyError, TypeError) as err:
+                    import warnings
+                    warnings.warn(
+                        "checkpointed optimizer state is incompatible with "
+                        f"this fit's optimizer and was not restored: {err}")
+                self._pending_opt_state = None
         else:
             theta = self._flatten_jit(self.model.params)
 

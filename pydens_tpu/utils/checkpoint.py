@@ -3,9 +3,15 @@
 The reference has no persistence at all (SURVEY §5: ``dill`` is declared but
 never imported; resume-ish behavior is only ``fit(optimizer=None)``).  This is
 a cheap, worthwhile superset: the parameter pytree (network + ``log_scale`` +
-V variables), optimizer state, loss history and the step counter serialize via
-``flax.serialization`` msgpack.
+V variables), optimizer state, RNG key, loss history, fit-history records,
+freeze state and the condition-interpretation cache serialize via
+``flax.serialization`` msgpack — enough state that a resumed run reproduces
+the continuation of the saving run bit-for-bit (``tests/test_checkpoint.py::
+test_resume_reproduces_uninterrupted_continuation``).
 """
+
+import json
+import warnings
 
 import numpy as np
 import jax
@@ -14,7 +20,8 @@ from flax import serialization
 
 __all__ = ["save_solver", "load_solver"]
 
-_MAGIC = b"PDTPU001"
+_MAGIC = b"PDTPU002"
+_MAGIC_V1 = b"PDTPU001"
 
 
 def save_solver(solver, path):
@@ -23,6 +30,16 @@ def save_solver(solver, path):
             jax.tree.map(np.asarray, solver.model.params)),
         "losses": np.asarray(solver.losses, np.float32),
         "step_counter": np.int64(solver._step_counter),
+        # Typed PRNG keys don't serialize directly; store the raw key data.
+        "rng_key_data": np.asarray(jax.random.key_data(solver._key)),
+        # Non-array training context, json-encoded: fit history records,
+        # sticky condition-interpretation modes, freeze state.
+        "meta": json.dumps({
+            "history": solver.history,
+            "cond_modes": solver.model._cond_modes,
+            "frozen_layers": sorted(solver.model._frozen_layers),
+            "frozen_variables": sorted(solver.model._frozen_variables),
+        }),
     }
     if solver._opt_state is not None:
         state["opt_state"] = serialization.to_state_dict(
@@ -36,9 +53,12 @@ def save_solver(solver, path):
 def load_solver(solver, path):
     with open(path, "rb") as fh:
         blob = fh.read()
-    if not blob.startswith(_MAGIC):
+    if blob.startswith(_MAGIC):
+        state = serialization.msgpack_restore(blob[len(_MAGIC):])
+    elif blob.startswith(_MAGIC_V1):  # round-1 format: params/losses/step/opt
+        state = serialization.msgpack_restore(blob[len(_MAGIC_V1):])
+    else:
         raise ValueError(f"{path} is not a pydens_tpu checkpoint")
-    state = serialization.msgpack_restore(blob[len(_MAGIC):])
 
     current = solver.model.params
     try:
@@ -52,14 +72,30 @@ def load_solver(solver, path):
     solver.model.params = restored
     solver.losses = list(np.asarray(state["losses"], np.float32))
     solver._step_counter = int(state["step_counter"])
-    if "opt_state" in state and solver._opt_state is not None:
-        try:
-            solver._opt_state = serialization.from_state_dict(
-                solver._opt_state, state["opt_state"])
-        except Exception:  # optimizer config changed — state is best-effort
-            import warnings
-            warnings.warn("checkpoint optimizer state is incompatible with "
-                          "the current optimizer and was not restored")
+    if "rng_key_data" in state:
+        solver._key = jax.random.wrap_key_data(
+            jnp.asarray(state["rng_key_data"]))
+    if "meta" in state:
+        meta = json.loads(state["meta"])
+        solver.history = meta["history"]
+        solver.model._cond_modes = dict(meta["cond_modes"])
+        solver.model._frozen_layers = set(meta["frozen_layers"])
+        solver.model._frozen_variables = set(meta["frozen_variables"])
+    if "opt_state" in state:
+        if solver._opt_state is not None:
+            try:
+                solver._opt_state = serialization.from_state_dict(
+                    solver._opt_state, state["opt_state"])
+            except (ValueError, KeyError, TypeError) as err:
+                warnings.warn(
+                    "checkpoint optimizer state is incompatible with the "
+                    f"current optimizer and was not restored: {err}")
+        else:
+            # Fresh solver (the common cross-process resume): no optimizer
+            # state exists yet to restore into.  Stash the raw state dict;
+            # Solver.fit applies it right after the next `prep` builds the
+            # matching structure, so Adam moments survive the resume.
+            solver._pending_opt_state = state["opt_state"]
 
 
 def _check_shape(a, b):
