@@ -393,23 +393,36 @@ class Model:
         """All requested pure field taps of the FULL model (network body +
         ansatz) in one Taylor-mode network traversal.
 
-        ``derivs`` is a set of multi-indices: ``(a,)`` first and sorted
-        ``(a, b)`` second derivatives (pure or mixed) w.r.t. coordinate
-        columns.  The network body propagates batched tangents (see
-        ``layout.make_layout_network``'s ``taylor``); the cheap ansatz
-        composes exactly through a bilinear scalar Taylor substitution: with
-        ``net(s, t) = V + s*T_a + t*T_b + s*t*S_ab`` matching the body's
-        cross expansion along ``(e_a, e_b)``,
-        ``d^2/(ds dt) anzatc(net(s,t), x + s e_a + t e_b)`` at 0 is exactly
-        the composite's second derivative (polarization covers ``a == b``).
+        ``derivs`` is a set of multi-indices: ``(a,)`` first, sorted
+        ``(a, b)`` second and sorted ``(a, b, c)`` third derivatives (pure
+        or mixed) w.r.t. coordinate columns.  The requested set is closed
+        downward first (a third-order tap needs every sub-pair and single
+        for the activation chain rules).  The network body propagates
+        batched tangents (see ``layout.make_layout_network``'s ``taylor``);
+        the cheap ansatz composes exactly through a polarized scalar Taylor
+        substitution: with one scalar per direction and the network's
+        multilinear cross expansion, e.g.
+        ``net(s, t, r) = V + s*T_a + t*T_b + r*T_c + st*S_ab + sr*S_ac
+        + tr*S_bc + str*R_abc``, the mixed partial
+        ``d^3/(ds dt dr) anzatc(net(s,t,r), x + s e_a + t e_b + r e_c)``
+        at 0 is exactly the composite's third derivative — polarization
+        covers repeated indices (``a == b`` etc.).
 
         Returns a dict: multi-index -> (N, n_out) array, always including
         ``()`` (the field value).
         """
+        import itertools
+
+        third_triples = sorted({d for d in derivs if len(d) == 3})
+        second_pairs = set(d for d in derivs if len(d) == 2)
+        for tr in third_triples:  # downward closure: all sub-pairs
+            for pair in itertools.combinations(tr, 2):
+                second_pairs.add(tuple(sorted(pair)))
+        second_pairs = sorted(second_pairs)
         first_dirs = sorted({a for d in derivs for a in d})
-        second_pairs = sorted({d for d in derivs if len(d) == 2})
-        V, T, S = self.network_apply_taylor(params["net"], xs,
-                                            first_dirs, second_pairs)
+        V, T, S, R = self.network_apply_taylor(
+            params["net"], xs, first_dirs, second_pairs,
+            third_triples=third_triples)
         table = {(): self.anzatc(V, xs, params)}
         n_total = xs.shape[1]
         zero = jnp.zeros((), self.dtype)
@@ -435,6 +448,28 @@ class Model:
                                   (zero,), (one,))[1],
                 (zero,), (one,))[1]
             table[(a, b)] = d_ab
+
+        for (a, b, c) in third_triples:
+            def phi3(s, t, r, t_a=T[a], t_b=T[b], t_c=T[c],
+                     s_ab=S[tuple(sorted((a, b)))],
+                     s_ac=S[tuple(sorted((a, c)))],
+                     s_bc=S[tuple(sorted((b, c)))],
+                     r_abc=R[(a, b, c)],
+                     e_a=basis(a), e_b=basis(b), e_c=basis(c)):
+                net_str = (V + s * t_a + t * t_b + r * t_c
+                           + (s * t) * s_ab + (s * r) * s_ac
+                           + (t * r) * s_bc + (s * t * r) * r_abc)
+                return self.anzatc(
+                    net_str, xs + s * e_a + t * e_b + r * e_c, params)
+
+            d_abc = jax.jvp(
+                lambda s: jax.jvp(
+                    lambda t, s=s: jax.jvp(
+                        lambda r, s=s, t=t: phi3(s, t, r),
+                        (zero,), (one,))[1],
+                    (zero,), (one,))[1],
+                (zero,), (one,))[1]
+            table[(a, b, c)] = d_abc
         return table
 
     # -- stateful conveniences ----------------------------------------------
@@ -551,27 +586,36 @@ class ConvBlockModel(Model):
         return self._net_apply(net_params, self._embed(xs))
 
     def network_apply_taylor(self, net_params, xs, first_dirs,
-                             second_pairs):
+                             second_pairs, third_triples=()):
         init = None
         if self.periodic_dims:
             # Taylor state of the embedding w.r.t. the original coordinates
             # (cheap elementwise jvp taps), fed into the network traversal.
             V0 = self._embed(xs)
-            T0, S0 = {}, {}
+            T0, S0, R0 = {}, {}, {}
+
+            def e(a):
+                return jnp.zeros_like(xs).at[:, a].set(1.0)
+
             for a in first_dirs:
-                e_a = jnp.zeros_like(xs).at[:, a].set(1.0)
-                _, t = jax.jvp(self._embed, (xs,), (e_a,))
+                _, t = jax.jvp(self._embed, (xs,), (e(a),))
                 T0[a] = t
             for (a, b) in second_pairs:
-                e_a = jnp.zeros_like(xs).at[:, a].set(1.0)
-                e_b = jnp.zeros_like(xs).at[:, b].set(1.0)
                 _, s = jax.jvp(
-                    lambda z: jax.jvp(self._embed, (z,), (e_b,))[1],
-                    (xs,), (e_a,))
+                    lambda z: jax.jvp(self._embed, (z,), (e(b),))[1],
+                    (xs,), (e(a),))
                 S0[(a, b)] = s
-            init = (V0, T0, S0)
+            for (a, b, c) in third_triples:
+                _, r = jax.jvp(
+                    lambda z: jax.jvp(
+                        lambda z2: jax.jvp(self._embed, (z2,), (e(c),))[1],
+                        (z,), (e(b),))[1],
+                    (xs,), (e(a),))
+                R0[(a, b, c)] = r
+            init = (V0, T0, S0, R0)
         return self._net_apply.taylor(net_params, self._embed(xs),
-                                      first_dirs, second_pairs, init=init)
+                                      first_dirs, second_pairs, init=init,
+                                      third_triples=third_triples)
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

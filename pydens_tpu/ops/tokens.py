@@ -315,13 +315,14 @@ def D(y, x):
 
     # Derivative planning: track pure field taps (the field or one of its
     # derivatives, differentiated directly).  Plannable multi-indices are
-    # order <= 2 (pure AND mixed); order >= 3 — and any D applied to a
-    # composite expression — voids the plan for this context (the nested-jvp
-    # closure above remains the universal fallback).
+    # order <= 3 (pure AND mixed — Laplacians, heat/wave, KdV/dispersion);
+    # order >= 4 — and any D applied to a composite expression — voids the
+    # plan for this context (the nested-jvp closure above remains the
+    # universal fallback).
     deriv = None
     if y.deriv is not None:
         candidate = tuple(sorted(y.deriv + (k,)))
-        if len(candidate) <= 2:
+        if len(candidate) <= 3:
             deriv = candidate
             ctx.derivs.add(candidate)
         else:

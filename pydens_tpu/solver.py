@@ -239,7 +239,7 @@ class Solver:
         with variable_scope("create", registry):
             jax.eval_shape(_discover, params, dummy)
         # Derivative plan: valid when every D in the equation is a pure
-        # field tap of order <= 2 and the model can Taylor-propagate.
+        # field tap of order <= 3 and the model can Taylor-propagate.
         self._plan_derivs = plan_info["derivs"]
         self._plan_ok = (plan_info["ok"] and bool(plan_info["derivs"])
                          and self.model.supports_taylor)
@@ -721,7 +721,7 @@ class Solver:
         and a device-capable sampler); ``fast_taps`` controls the
         Taylor-mode derivative fast path (``'auto'`` uses it whenever the
         equation's derivative structure allows — pure field taps of order
-        <= 2 on a layout-built network; ``False`` forces the nested-jvp
+        <= 3 on a layout-built network; ``False`` forces the nested-jvp
         path, e.g. for debugging); ``callback(iteration, chunk_losses)``
         fires after every compiled chunk (forces a device sync — for
         logging/early-stopping hooks, keep ``chunk_size`` coarse).

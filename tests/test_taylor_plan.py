@@ -109,9 +109,60 @@ def test_mixed_derivative_planned_with_periodic_embedding():
     _diff_check(solver, 2)
 
 
-def test_third_order_falls_back():
+def test_third_order_planned_and_exact():
     def pde(f, x):
-        return D(D(D(f, x), x), x)
+        return D(D(D(f, x), x), x) - f
+
+    solver = Solver(pde, ndims=1, seed=0, layout="fafaf",
+                    features=[10, 10, 1], activation="Tanh")
+    assert solver._plan_ok
+    assert (0, 0, 0) in solver._plan_derivs
+    _diff_check(solver, 1)
+
+
+def test_kdv_planned_and_exact():
+    # KdV: u_t + 6 u u_x + u_xxx = 0 — third order + nonlinear advection.
+    def kdv(f, x, t):
+        return D(f, t) + 6 * f * D(f, x) + D(D(D(f, x), x), x)
+
+    solver = Solver(kdv, ndims=2, seed=0, layout="fafaf",
+                    features=[12, 12, 1], activation="Tanh")
+    assert solver._plan_ok
+    assert (0, 0, 0) in solver._plan_derivs
+    _diff_check(solver, 2)
+    solver.fit(niters=10, batch_size=32, progress=False)
+    assert np.isfinite(solver.losses).all()
+
+
+def test_mixed_third_order_planned_and_exact():
+    # u_xxy and u_xyt: mixed triples, with a second IC-style ansatz active.
+    def pde(f, x, y, t):
+        return (D(D(D(f, x), x), y) + 0.5 * D(D(D(f, x), y), t)
+                - D(f, t) + f)
+
+    solver = Solver(pde, ndims=3, seed=0, layout="fafaf",
+                    features=[10, 10, 1], activation="Sigmoid",
+                    initial_condition=lambda x, y: x * y,
+                    boundary_condition=0)
+    assert solver._plan_ok
+    assert (0, 0, 1) in solver._plan_derivs
+    assert (0, 1, 2) in solver._plan_derivs
+    _diff_check(solver, 3, tol=5e-5)
+
+
+def test_third_order_planned_with_periodic_embedding():
+    def pde(f, x, t):
+        return D(f, t) + D(D(D(f, x), x), x)
+
+    solver = Solver(pde, ndims=2, seed=0, periodic=(0,), layout="fafaf",
+                    features=[8, 8, 1], initial_condition=0.0)
+    assert solver._plan_ok
+    _diff_check(solver, 2, tol=5e-5)
+
+
+def test_fourth_order_falls_back():
+    def pde(f, x):
+        return D(D(D(D(f, x), x), x), x)
 
     solver = Solver(pde, ndims=1, seed=0)
     assert not solver._plan_ok
