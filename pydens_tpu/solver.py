@@ -39,6 +39,12 @@ from .utils.optimizers import resolve_optimizer
 
 __all__ = ["Solver"]
 
+# fast_taps='auto' uses the Taylor plan only while its stacked tap state
+# (batch x taps x width f32 elements) stays below this; above it the
+# training step is HBM-bandwidth-bound and the XLA-fused nested-jvp path
+# accesses fewer bytes (measured crossover on v5e, BENCHMARKS.md).
+_PLAN_AUTO_MAX_ELEMENTS = 2_000_000
+
 
 def _leaf_fn(k):
     return lambda ls: ls[k]
@@ -721,8 +727,11 @@ class Solver:
         and a device-capable sampler); ``fast_taps`` controls the
         Taylor-mode derivative fast path (``'auto'`` uses it whenever the
         equation's derivative structure allows — pure field taps of order
-        <= 3 on a layout-built network; ``False`` forces the nested-jvp
-        path, e.g. for debugging); ``callback(iteration, chunk_losses)``
+        <= 3 on a layout-built network — AND the batch is small enough
+        that the step is not HBM-bandwidth-bound, the regime where the
+        plan wins; ``True``/``'always'`` forces the plan at any batch;
+        ``False`` forces the nested-jvp path, e.g. for debugging);
+        ``callback(iteration, chunk_losses)``
         fires after every compiled chunk (forces a device sync — for
         logging/early-stopping hooks, keep ``chunk_size`` coarse).
         """
@@ -813,6 +822,27 @@ class Solver:
         niters = int(niters)
         chunk = max(1, min(niters, int(chunk_size)))
         use_plan = bool(self._plan_ok) and fast_taps not in (False, "never")
+        if use_plan and fast_taps == "auto":
+            # Batch-regime heuristic (measured, BENCHMARKS.md "Taylor plan
+            # batch regime"): the plan's stacked tap state streams through
+            # HBM, so at large batch the XLA-fused nested-jvp chains win
+            # (the step is bandwidth-bound there); at small batch the plan's
+            # single traversal wins (per-op overhead dominates).  Crossover
+            # measured at ~2M stacked f32 elements on v5e.  Force with
+            # fast_taps=True/'always'.
+            derivs = self._plan_derivs
+            singles = {a for d in derivs for a in d}
+            pairs = {d for d in derivs if len(d) == 2}
+            triples = {d for d in derivs if len(d) == 3}
+            for tr in triples:
+                pairs.update(tuple(sorted(p))
+                             for p in ((tr[0], tr[1]), (tr[0], tr[2]),
+                                       (tr[1], tr[2])))
+            n_blocks = 1 + len(singles) + len(pairs) + len(triples)
+            width = max(getattr(self.model, "features", None)
+                        or [self.model.total])
+            use_plan = (int(batch_size) * n_blocks * width
+                        <= _PLAN_AUTO_MAX_ELEMENTS)
         mask = self.model.trainable_mask(self.model.params)
         cfg = dict(batch_size=int(batch_size), chunk=chunk,
                    loss_terms=loss_terms, use_plan=use_plan,
