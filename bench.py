@@ -119,6 +119,10 @@ def bench_torch_reference():
         last = step()
     dt = time.perf_counter() - t0
     rate = TORCH_PROBE_ITERS / dt
+    # Continue to the full NITERS budget so baseline_final_loss is an
+    # apples-to-apples loss (same optimizer-step count as the rebuild's).
+    for _ in range(NITERS - TORCH_PROBE_ITERS - 10):
+        last = step()
     return rate, NITERS / rate, last
 
 

@@ -385,6 +385,25 @@ class Model:
     # -- Taylor-mode derivative taps (planned fast path) ---------------------
     network_apply_taylor = None  # set by models that support it
 
+    @staticmethod
+    def plan_closure(derivs):
+        """Downward-closed derivative sets for one Taylor traversal:
+        ``(first_dirs, second_pairs, third_triples)``, each sorted.  A
+        third-order tap needs every sub-pair and single for the activation
+        chain rules; the traversal's stacked state has
+        ``1 + len(first) + len(second) + len(third)`` blocks.  Single source
+        of truth for :meth:`full_taps` and the Solver's ``fast_taps='auto'``
+        cost heuristic."""
+        import itertools
+
+        third_triples = sorted({d for d in derivs if len(d) == 3})
+        second_pairs = set(d for d in derivs if len(d) == 2)
+        for tr in third_triples:
+            for pair in itertools.combinations(tr, 2):
+                second_pairs.add(tuple(sorted(pair)))
+        first_dirs = sorted({a for d in derivs for a in d})
+        return first_dirs, sorted(second_pairs), third_triples
+
     @property
     def supports_taylor(self):
         return self.network_apply_taylor is not None
@@ -411,15 +430,7 @@ class Model:
         Returns a dict: multi-index -> (N, n_out) array, always including
         ``()`` (the field value).
         """
-        import itertools
-
-        third_triples = sorted({d for d in derivs if len(d) == 3})
-        second_pairs = set(d for d in derivs if len(d) == 2)
-        for tr in third_triples:  # downward closure: all sub-pairs
-            for pair in itertools.combinations(tr, 2):
-                second_pairs.add(tuple(sorted(pair)))
-        second_pairs = sorted(second_pairs)
-        first_dirs = sorted({a for d in derivs for a in d})
+        first_dirs, second_pairs, third_triples = self.plan_closure(derivs)
         V, T, S, R = self.network_apply_taylor(
             params["net"], xs, first_dirs, second_pairs,
             third_triples=third_triples)

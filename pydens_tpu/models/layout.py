@@ -282,6 +282,22 @@ def make_layout_network(layout, features, activation, in_dim,
         pair -> second tangent, dict triple -> third tangent.
         """
         r_keys = [tuple(p) for p in third_triples]
+        # Enforce the closure precondition instead of trusting it: the
+        # activation chain rule for a triple reads T of each member and S of
+        # each sub-pair; a missing entry would silently produce wrong third
+        # derivatives (Model.plan_closure builds conforming sets).
+        for p in r_keys:
+            for q in ((p[0], p[1]), (p[0], p[2]), (p[1], p[2])):
+                if tuple(sorted(q)) not in set(map(tuple, second_pairs)):
+                    raise ValueError(
+                        f"third_triples entry {p} needs sub-pair "
+                        f"{tuple(sorted(q))} in second_pairs; pass sets from "
+                        "Model.plan_closure")
+            for a in p:
+                if a not in set(first_dirs):
+                    raise ValueError(
+                        f"third_triples entry {p} needs direction {a} in "
+                        "first_dirs; pass sets from Model.plan_closure")
         if init is not None:
             V, T, S = init[:3]
             T = dict(T)

@@ -31,7 +31,10 @@ import jax.numpy as _jnp
 
 from .ops.tokens import lift as _lift
 
-__all__ = []  # populated lazily; use dir() for the full jnp surface
+# The full public jnp surface: star-imports resolve each name through
+# __getattr__ below (module-level __getattr__ is consulted for __all__
+# entries), so `from pydens_tpu.numpy import *` works like jnp's.
+__all__ = [_n for _n in dir(_jnp) if not _n.startswith("_")]
 
 
 def __getattr__(name):

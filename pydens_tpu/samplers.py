@@ -400,12 +400,17 @@ class GeometrySampler(Sampler):
 
         Duplicates bias the collocation distribution toward the accepted
         points; anything above ~0 means ``oversample`` should be raised.
-        Returns the mean rate over ``trials`` candidate draws (host RNG).
+        Returns the mean rate over ``trials`` candidate draws.  Read-only:
+        uses its own RNG, so the sampler's seeded stream (and any seeded
+        run using it) is unaffected.
         """
+        rng = np.random.default_rng(0)
+        lo = np.asarray([b[0] for b in self.bbox])
+        hi = np.asarray([b[1] for b in self.bbox])
         rates = []
         for _ in range(trials):
-            cand = self._propose_host(self.oversample * size)
-            valid = np.asarray(self.inside(jnp.asarray(cand))).reshape(-1)
+            cand = rng.uniform(lo, hi, (self.oversample * size, self.ndims))
+            valid = np.asarray(self.inside(cand)).astype(bool).reshape(-1)
             n_valid = int(valid.sum())
             rates.append(max(0, size - n_valid) / size)
         return float(np.mean(rates))

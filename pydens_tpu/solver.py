@@ -830,18 +830,13 @@ class Solver:
             # single traversal wins (per-op overhead dominates).  Crossover
             # measured at ~2M stacked f32 elements on v5e.  Force with
             # fast_taps=True/'always'.
-            derivs = self._plan_derivs
-            singles = {a for d in derivs for a in d}
-            pairs = {d for d in derivs if len(d) == 2}
-            triples = {d for d in derivs if len(d) == 3}
-            for tr in triples:
-                pairs.update(tuple(sorted(p))
-                             for p in ((tr[0], tr[1]), (tr[0], tr[2]),
-                                       (tr[1], tr[2])))
-            n_blocks = 1 + len(singles) + len(pairs) + len(triples)
+            firsts, pairs, triples = self.model.plan_closure(
+                self._plan_derivs)
+            n_blocks = 1 + len(firsts) + len(pairs) + len(triples)
             width = max(getattr(self.model, "features", None)
                         or [self.model.total])
-            use_plan = (int(batch_size) * n_blocks * width
+            # the ensemble vmaps the traversal, scaling the state K-fold
+            use_plan = (self.n_models * int(batch_size) * n_blocks * width
                         <= _PLAN_AUTO_MAX_ELEMENTS)
         mask = self.model.trainable_mask(self.model.params)
         cfg = dict(batch_size=int(batch_size), chunk=chunk,
@@ -856,23 +851,23 @@ class Solver:
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
             theta, self._opt_state = prep(self.model.params)
-            if self._pending_opt_state is not None:
-                # Checkpoint resume into a fresh solver: `prep` just built
-                # the matching optimizer-state structure; graft the saved
-                # moments onto it so resumed training continues where the
-                # saving run left off (instead of restarting Adam).
-                from flax import serialization
-                try:
-                    self._opt_state = serialization.from_state_dict(
-                        self._opt_state, self._pending_opt_state)
-                except (ValueError, KeyError, TypeError) as err:
-                    import warnings
-                    warnings.warn(
-                        "checkpointed optimizer state is incompatible with "
-                        f"this fit's optimizer and was not restored: {err}")
-                self._pending_opt_state = None
         else:
             theta = self._flatten_jit(self.model.params)
+        if self._pending_opt_state is not None:
+            # Checkpoint resume: graft the saved moments onto this fit's
+            # optimizer state (freshly prep'd or reused) so resumed training
+            # continues where the saving run left off instead of restarting
+            # Adam.
+            from flax import serialization
+            try:
+                self._opt_state = serialization.from_state_dict(
+                    self._opt_state, self._pending_opt_state)
+            except (ValueError, KeyError, TypeError) as err:
+                import warnings
+                warnings.warn(
+                    "checkpointed optimizer state is incompatible with "
+                    f"this fit's optimizer and was not restored: {err}")
+            self._pending_opt_state = None
 
         fit_key, self._key = jax.random.split(self._key)
         bounds = list(range(0, niters, chunk))

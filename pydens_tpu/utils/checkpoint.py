@@ -82,20 +82,12 @@ def load_solver(solver, path):
         solver.model._frozen_layers = set(meta["frozen_layers"])
         solver.model._frozen_variables = set(meta["frozen_variables"])
     if "opt_state" in state:
-        if solver._opt_state is not None:
-            try:
-                solver._opt_state = serialization.from_state_dict(
-                    solver._opt_state, state["opt_state"])
-            except (ValueError, KeyError, TypeError) as err:
-                warnings.warn(
-                    "checkpoint optimizer state is incompatible with the "
-                    f"current optimizer and was not restored: {err}")
-        else:
-            # Fresh solver (the common cross-process resume): no optimizer
-            # state exists yet to restore into.  Stash the raw state dict;
-            # Solver.fit applies it right after the next `prep` builds the
-            # matching structure, so Adam moments survive the resume.
-            solver._pending_opt_state = state["opt_state"]
+        # Stash the raw state dict; Solver.fit grafts it onto the optimizer
+        # state of the NEXT fit (freshly prep'd or reused), so Adam moments
+        # survive the resume on fresh AND warm solvers alike.  Restoring
+        # directly here would be discarded by the next default fit(), which
+        # rebuilds the state for its fresh optimizer.
+        solver._pending_opt_state = state["opt_state"]
 
 
 def _check_shape(a, b):

@@ -65,6 +65,24 @@ def test_checkpoint_opt_state_warning_on_mismatch(tmp_path):
     assert s2._pending_opt_state is None
 
 
+def test_resume_into_warm_solver_preserves_moments(tmp_path):
+    # load() into an already-fitted solver must also restore Adam moments on
+    # the next fit (round-2 review finding: the warm path silently dropped
+    # them).  Continuation must equal the saving solver's own continuation.
+    path = str(tmp_path / "ckpt.msgpack")
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    s1.fit(niters=200, batch_size=128, progress=False)
+    s1.save(path)
+    s1.fit(niters=100, batch_size=128, optimizer=None, progress=False)
+
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, seed=3)
+    s2.fit(niters=50, batch_size=128, progress=False)  # warm it up
+    s2.load(path)
+    assert s2._pending_opt_state is not None
+    s2.fit(niters=100, batch_size=128, progress=False)
+    np.testing.assert_allclose(s2.losses[200:], s1.losses[200:], rtol=1e-6)
+
+
 # -- loss-term validation (ADVICE #2) -----------------------------------------
 
 def test_loss_terms_dict_typo_raises():
@@ -101,6 +119,60 @@ def test_geometry_sampler_duplication_rate():
                            bbox=[(-1, 1), (-1, 1)], oversample=2, seed=0)
     rate = thin.duplication_rate(64)
     assert 0.9 < rate <= 1.0  # ~1% acceptance: almost all duplicates
+
+
+def test_geometry_sampler_diagnostic_is_read_only():
+    # The diagnostic must not advance the sampler's seeded RNG stream.
+    def make():
+        return GeometrySampler(lambda p: (p ** 2).sum(-1) <= 1.0,
+                               bbox=[(-1, 1), (-1, 1)], seed=42)
+
+    s1, s2 = make(), make()
+    s1.duplication_rate(64)
+    np.testing.assert_array_equal(s1.sample(32), s2.sample(32))
+
+
+def test_taylor_third_order_closure_enforced():
+    from pydens_tpu.models.layout import make_layout_network
+    import jax
+
+    init, apply, _ = make_layout_network("fa f", [8, 1], "Tanh", in_dim=1)
+    params = init(jax.random.key(0))
+    x = np.zeros((4, 1), np.float32)
+    with pytest.raises(ValueError, match="sub-pair"):
+        apply.taylor(params, x, [0], [], third_triples=[(0, 0, 0)])
+
+
+def test_fast_taps_auto_counts_ensemble():
+    # n_models scales the Taylor state K-fold: a batch under the auto
+    # threshold for one model must flip to the fallback for an ensemble.
+    from pydens_tpu.solver import _PLAN_AUTO_MAX_ELEMENTS
+
+    def pde(f, x):
+        return D(D(f, x), x) - 1.0
+
+    def compiled_use_plan(n_models, batch):
+        s = Solver(pde, ndims=1, seed=0, layout="fafaf",
+                   features=[16, 16, 1], n_models=n_models)
+        firsts, pairs, triples = s.model.plan_closure(s._plan_derivs)
+        n_blocks = 1 + len(firsts) + len(pairs) + len(triples)
+        assert batch * n_blocks * 16 <= _PLAN_AUTO_MAX_ELEMENTS
+        assert 8 * batch * n_blocks * 16 > _PLAN_AUTO_MAX_ELEMENTS
+        s.fit(niters=2, batch_size=batch, progress=False)
+        (cfg_key,) = s._step_cache  # (batch, chunk, ..., use_plan, mesh)
+        return cfg_key[9]
+
+    batch = 20_000  # 20k*4*16=1.28M <= 2M alone; 8x that is over
+    assert compiled_use_plan(1, batch) is True
+    assert compiled_use_plan(8, batch) is False
+
+
+def test_numpy_shim_star_import():
+    ns = {}
+    exec("from pydens_tpu.numpy import *", ns)
+    assert "cos" in ns and "linspace" in ns
+    out = ns["cos"](np.zeros(3))
+    np.testing.assert_allclose(np.asarray(out), 1.0)
 
 
 # -- reshape_and_concat torch quirk (VERDICT weak #7) -------------------------
