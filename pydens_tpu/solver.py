@@ -513,6 +513,21 @@ class Solver:
         """Single-model flatten spec (ensemble stacking sits outside it)."""
         return _spec_from_tree(self._param_template)
 
+    def _auto_use_plan(self, batch_size):
+        """``fast_taps='auto'`` batch-regime decision (measured,
+        BENCHMARKS.md "Taylor plan batch regime"): the plan's stacked tap
+        state streams through HBM, so at large batch the XLA-fused
+        nested-jvp chains win (the step is bandwidth-bound there); at small
+        batch the plan's single traversal wins (per-op overhead dominates).
+        Crossover measured at ~2M stacked f32 elements on v5e; the ensemble
+        vmaps the traversal, scaling the state ``n_models``-fold."""
+        firsts, pairs, triples = self.model.plan_closure(self._plan_derivs)
+        n_blocks = 1 + len(firsts) + len(pairs) + len(triples)
+        width = max(getattr(self.model, "features", None)
+                    or [self.model.total])
+        return (self.n_models * int(batch_size) * n_blocks * width
+                <= _PLAN_AUTO_MAX_ELEMENTS)
+
     def _build_step_fn(self, cfg):
         """Build (and cache) the jitted chunk runner.
 
@@ -823,21 +838,7 @@ class Solver:
         chunk = max(1, min(niters, int(chunk_size)))
         use_plan = bool(self._plan_ok) and fast_taps not in (False, "never")
         if use_plan and fast_taps == "auto":
-            # Batch-regime heuristic (measured, BENCHMARKS.md "Taylor plan
-            # batch regime"): the plan's stacked tap state streams through
-            # HBM, so at large batch the XLA-fused nested-jvp chains win
-            # (the step is bandwidth-bound there); at small batch the plan's
-            # single traversal wins (per-op overhead dominates).  Crossover
-            # measured at ~2M stacked f32 elements on v5e.  Force with
-            # fast_taps=True/'always'.
-            firsts, pairs, triples = self.model.plan_closure(
-                self._plan_derivs)
-            n_blocks = 1 + len(firsts) + len(pairs) + len(triples)
-            width = max(getattr(self.model, "features", None)
-                        or [self.model.total])
-            # the ensemble vmaps the traversal, scaling the state K-fold
-            use_plan = (self.n_models * int(batch_size) * n_blocks * width
-                        <= _PLAN_AUTO_MAX_ELEMENTS)
+            use_plan = self._auto_use_plan(batch_size)
         mask = self.model.trainable_mask(self.model.params)
         cfg = dict(batch_size=int(batch_size), chunk=chunk,
                    loss_terms=loss_terms, use_plan=use_plan,

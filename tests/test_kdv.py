@@ -52,11 +52,11 @@ def test_kdv_soliton_converges():
     assert solver._plan_ok and (0, 0, 0) in solver._plan_derivs
     sampler = NS("u", low=-5, high=5, seed=0) & NS("u", low=0, high=0.5,
                                                    seed=1)
-    solver.fit(niters=5000, batch_size=1024, lr=0.005, sampler=sampler,
+    solver.fit(niters=3000, batch_size=1024, lr=0.005, sampler=sampler,
                progress=False)
     assert np.mean(solver.losses[-20:]) < 0.01
     xs = np.linspace(-5, 5, 81)
     for tt in (0.25, 0.5):
         pred = solver.predict(xs, np.full_like(xs, tt)).ravel()
         true = 2.0 / np.cosh(xs - 4 * tt + 2.0) ** 2
-        assert np.max(np.abs(pred - true)) < 0.05, f"t={tt}"
+        assert np.max(np.abs(pred - true)) < 0.08, f"t={tt}"

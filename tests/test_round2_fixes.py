@@ -146,25 +146,17 @@ def test_taylor_third_order_closure_enforced():
 def test_fast_taps_auto_counts_ensemble():
     # n_models scales the Taylor state K-fold: a batch under the auto
     # threshold for one model must flip to the fallback for an ensemble.
-    from pydens_tpu.solver import _PLAN_AUTO_MAX_ELEMENTS
-
     def pde(f, x):
         return D(D(f, x), x) - 1.0
 
-    def compiled_use_plan(n_models, batch):
-        s = Solver(pde, ndims=1, seed=0, layout="fafaf",
-                   features=[16, 16, 1], n_models=n_models)
-        firsts, pairs, triples = s.model.plan_closure(s._plan_derivs)
-        n_blocks = 1 + len(firsts) + len(pairs) + len(triples)
-        assert batch * n_blocks * 16 <= _PLAN_AUTO_MAX_ELEMENTS
-        assert 8 * batch * n_blocks * 16 > _PLAN_AUTO_MAX_ELEMENTS
-        s.fit(niters=2, batch_size=batch, progress=False)
-        (cfg_key,) = s._step_cache  # (batch, chunk, ..., use_plan, mesh)
-        return cfg_key[9]
-
-    batch = 20_000  # 20k*4*16=1.28M <= 2M alone; 8x that is over
-    assert compiled_use_plan(1, batch) is True
-    assert compiled_use_plan(8, batch) is False
+    s1 = Solver(pde, ndims=1, seed=0, layout="fafaf", features=[16, 16, 1])
+    s8 = Solver(pde, ndims=1, seed=0, layout="fafaf", features=[16, 16, 1],
+                n_models=8)
+    batch = 20_000  # 20k * 4 blocks * width 16 = 1.28M <= 2M; 8x is over
+    assert s1._auto_use_plan(batch) is True
+    assert s8._auto_use_plan(batch) is False
+    assert s1._auto_use_plan(100) is True
+    assert s1._auto_use_plan(500_000) is False
 
 
 def test_numpy_shim_star_import():

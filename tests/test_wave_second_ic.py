@@ -20,8 +20,8 @@ def test_wave_converges_to_analytic():
                     boundary_condition=0.0, layout="fa fa f",
                     features=[32, 32, 1], activation="Tanh", seed=0)
     assert solver._plan_ok  # wave is plannable
-    solver.fit(niters=3000, batch_size=1024, lr=0.005, progress=False)
-    solver.fit(niters=150, batch_size=4096, optimizer="LBFGS",
+    solver.fit(niters=1500, batch_size=1024, lr=0.005, progress=False)
+    solver.fit(niters=100, batch_size=2048, optimizer="LBFGS",
                resample=False, progress=False)
 
     # both ICs bound exactly
