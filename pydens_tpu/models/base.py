@@ -388,21 +388,26 @@ class Model:
     @staticmethod
     def plan_closure(derivs):
         """Downward-closed derivative sets for one Taylor traversal:
-        ``(first_dirs, second_pairs, third_triples)``, each sorted.  A
-        third-order tap needs every sub-pair and single for the activation
-        chain rules; the traversal's stacked state has
-        ``1 + len(first) + len(second) + len(third)`` blocks.  Single source
-        of truth for :meth:`full_taps` and the Solver's ``fast_taps='auto'``
-        cost heuristic."""
+        ``(first_dirs, second_pairs, third_triples, fourth_quads)``, each
+        sorted.  A higher-order tap needs every sub-multi-index below it for
+        the activation chain rules; the traversal's stacked state has
+        ``1 + len(first) + len(second) + len(third) + len(fourth)`` blocks.
+        Single source of truth for :meth:`full_taps` and the Solver's
+        ``fast_taps='auto'`` cost heuristic."""
         import itertools
 
-        third_triples = sorted({d for d in derivs if len(d) == 3})
+        fourth_quads = sorted({d for d in derivs if len(d) == 4})
+        third_triples = set(d for d in derivs if len(d) == 3)
+        for qd in fourth_quads:
+            for tr in itertools.combinations(qd, 3):
+                third_triples.add(tuple(sorted(tr)))
+        third_triples = sorted(third_triples)
         second_pairs = set(d for d in derivs if len(d) == 2)
         for tr in third_triples:
             for pair in itertools.combinations(tr, 2):
                 second_pairs.add(tuple(sorted(pair)))
         first_dirs = sorted({a for d in derivs for a in d})
-        return first_dirs, sorted(second_pairs), third_triples
+        return first_dirs, sorted(second_pairs), third_triples, fourth_quads
 
     @property
     def supports_taylor(self):
@@ -413,27 +418,32 @@ class Model:
         ansatz) in one Taylor-mode network traversal.
 
         ``derivs`` is a set of multi-indices: ``(a,)`` first, sorted
-        ``(a, b)`` second and sorted ``(a, b, c)`` third derivatives (pure
-        or mixed) w.r.t. coordinate columns.  The requested set is closed
-        downward first (a third-order tap needs every sub-pair and single
-        for the activation chain rules).  The network body propagates
-        batched tangents (see ``layout.make_layout_network``'s ``taylor``);
-        the cheap ansatz composes exactly through a polarized scalar Taylor
-        substitution: with one scalar per direction and the network's
-        multilinear cross expansion, e.g.
+        ``(a, b)`` second, ``(a, b, c)`` third and ``(a, b, c, d)`` fourth
+        derivatives (pure or mixed) w.r.t. coordinate columns.  The
+        requested set is closed downward first (a higher-order tap needs
+        every sub-multi-index for the activation chain rules).  The network
+        body propagates batched tangents (see
+        ``layout.make_layout_network``'s ``taylor``); the cheap ansatz
+        composes exactly through a polarized scalar Taylor substitution:
+        with one scalar per direction and the network's multilinear cross
+        expansion, e.g.
         ``net(s, t, r) = V + s*T_a + t*T_b + r*T_c + st*S_ab + sr*S_ac
         + tr*S_bc + str*R_abc``, the mixed partial
         ``d^3/(ds dt dr) anzatc(net(s,t,r), x + s e_a + t e_b + r e_c)``
-        at 0 is exactly the composite's third derivative — polarization
-        covers repeated indices (``a == b`` etc.).
+        at 0 is exactly the composite's third derivative — a mixed partial
+        in DISTINCT scalars only ever reads the multilinear cross terms, and
+        polarization covers repeated indices (``a == b`` etc.).  Fourth
+        order extends the same device with four scalars and the full
+        multilinear expansion (6 pair + 4 triple + 1 quad cross terms).
 
         Returns a dict: multi-index -> (N, n_out) array, always including
         ``()`` (the field value).
         """
-        first_dirs, second_pairs, third_triples = self.plan_closure(derivs)
-        V, T, S, R = self.network_apply_taylor(
+        first_dirs, second_pairs, third_triples, fourth_quads = \
+            self.plan_closure(derivs)
+        V, T, S, R, F = self.network_apply_taylor(
             params["net"], xs, first_dirs, second_pairs,
-            third_triples=third_triples)
+            third_triples=third_triples, fourth_quads=fourth_quads)
         table = {(): self.anzatc(V, xs, params)}
         n_total = xs.shape[1]
         zero = jnp.zeros((), self.dtype)
@@ -481,6 +491,36 @@ class Model:
                     (zero,), (one,))[1],
                 (zero,), (one,))[1]
             table[(a, b, c)] = d_abc
+
+        for (a, b, c, d) in fourth_quads:
+            def phi4(s, t, r, q, t_a=T[a], t_b=T[b], t_c=T[c], t_d=T[d],
+                     s_ab=S[(a, b)], s_ac=S[(a, c)], s_ad=S[(a, d)],
+                     s_bc=S[(b, c)], s_bd=S[(b, d)], s_cd=S[(c, d)],
+                     r_abc=R[(a, b, c)], r_abd=R[(a, b, d)],
+                     r_acd=R[(a, c, d)], r_bcd=R[(b, c, d)],
+                     f_abcd=F[(a, b, c, d)],
+                     e_a=basis(a), e_b=basis(b), e_c=basis(c), e_d=basis(d)):
+                net_strq = (V + s * t_a + t * t_b + r * t_c + q * t_d
+                            + (s * t) * s_ab + (s * r) * s_ac
+                            + (s * q) * s_ad + (t * r) * s_bc
+                            + (t * q) * s_bd + (r * q) * s_cd
+                            + (s * t * r) * r_abc + (s * t * q) * r_abd
+                            + (s * r * q) * r_acd + (t * r * q) * r_bcd
+                            + (s * t * r * q) * f_abcd)
+                return self.anzatc(
+                    net_strq,
+                    xs + s * e_a + t * e_b + r * e_c + q * e_d, params)
+
+            d_abcd = jax.jvp(
+                lambda s: jax.jvp(
+                    lambda t, s=s: jax.jvp(
+                        lambda r, s=s, t=t: jax.jvp(
+                            lambda q, s=s, t=t, r=r: phi4(s, t, r, q),
+                            (zero,), (one,))[1],
+                        (zero,), (one,))[1],
+                    (zero,), (one,))[1],
+                (zero,), (one,))[1]
+            table[(a, b, c, d)] = d_abcd
         return table
 
     # -- stateful conveniences ----------------------------------------------
@@ -597,13 +637,14 @@ class ConvBlockModel(Model):
         return self._net_apply(net_params, self._embed(xs))
 
     def network_apply_taylor(self, net_params, xs, first_dirs,
-                             second_pairs, third_triples=()):
+                             second_pairs, third_triples=(),
+                             fourth_quads=()):
         init = None
         if self.periodic_dims:
             # Taylor state of the embedding w.r.t. the original coordinates
             # (cheap elementwise jvp taps), fed into the network traversal.
             V0 = self._embed(xs)
-            T0, S0, R0 = {}, {}, {}
+            T0, S0, R0, F0 = {}, {}, {}, {}
 
             def e(a):
                 return jnp.zeros_like(xs).at[:, a].set(1.0)
@@ -623,10 +664,21 @@ class ConvBlockModel(Model):
                         (z,), (e(b),))[1],
                     (xs,), (e(a),))
                 R0[(a, b, c)] = r
-            init = (V0, T0, S0, R0)
+            for (a, b, c, d) in fourth_quads:
+                _, f4 = jax.jvp(
+                    lambda z: jax.jvp(
+                        lambda z2: jax.jvp(
+                            lambda z3: jax.jvp(self._embed, (z3,),
+                                               (e(d),))[1],
+                            (z2,), (e(c),))[1],
+                        (z,), (e(b),))[1],
+                    (xs,), (e(a),))
+                F0[(a, b, c, d)] = f4
+            init = (V0, T0, S0, R0, F0)
         return self._net_apply.taylor(net_params, self._embed(xs),
                                       first_dirs, second_pairs, init=init,
-                                      third_triples=third_triples)
+                                      third_triples=third_triples,
+                                      fourth_quads=fourth_quads)
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

@@ -234,25 +234,29 @@ def make_layout_network(layout, features, activation, in_dim,
         return h
 
     def taylor(params, x, first_dirs, second_pairs, init=None,
-               third_triples=()):
+               third_triples=(), fourth_quads=()):
         """Single-traversal Taylor-mode propagation: the network value plus
-        all first, second and (when requested) third directional
+        all first, second and (when requested) third and fourth directional
         derivatives, in ONE pass with batched-tangent matmuls.
 
         Linear layers propagate (value, tangents, higher-order terms)
         through one stacked matmul; elementwise activations apply the
-        Faà di Bruno chain rules with σ'/σ''/σ''' obtained generically via
+        Faà di Bruno chain rules with σ'..σ'''' obtained generically via
         nested ``jax.jvp``-with-ones (so any elementwise activation works):
 
         * ``S'_(a,b) = σ''·T_a·T_b + σ'·S_(a,b)``
         * ``R'_(a,b,c) = σ'''·T_a·T_b·T_c
           + σ''·(S_(a,b)·T_c + S_(a,c)·T_b + S_(b,c)·T_a) + σ'·R_(a,b,c)``
+        * ``F'_(a,b,c,d)``: the order-4 rule sums over the 15 set
+          partitions of the four positions — ``σ''''·T·T·T·T``, six
+          ``σ'''·S·T·T``, three ``σ''·S·S``, four ``σ''·R·T``, and
+          ``σ'·F`` (biharmonic/plate-bending residuals).
 
-        the same rules cover pure and mixed multi-indices (the three
-        pair+single terms are the distinct position partitions, valid with
+        the same rules cover pure and mixed multi-indices (the per-order
+        sums run over the distinct position partitions, valid with
         repeated indices).  This replaces nested-jvp re-traversals of the
-        network for Laplacian/heat/wave/KdV-style residuals — measured
-        ~10x faster per training iteration on TPU at PINN sizes.
+        network for Laplacian/heat/wave/KdV/biharmonic-style residuals —
+        measured ~10x faster per training iteration on TPU at PINN sizes.
 
         Parameters
         ----------
@@ -265,7 +269,7 @@ def make_layout_network(layout, features, activation, in_dim,
             Sorted index pairs whose second derivatives are needed (pure
             ``(a, a)`` or mixed ``(a, b)``); both members must appear in
             ``first_dirs``.
-        init : (V, T, S) or (V, T, S, R), optional
+        init : (V, T, S) .. (V, T, S, R, F), optional
             Initial Taylor state when the network input is a transform of
             the coordinates (e.g. a periodic Fourier embedding): the
             embedded values plus their directional derivatives w.r.t. the
@@ -275,20 +279,29 @@ def make_layout_network(layout, features, activation, in_dim,
             Sorted index triples whose third derivatives are needed; every
             sub-pair must appear in ``second_pairs`` and every member in
             ``first_dirs`` (the Solver's plan closure guarantees this).
+        fourth_quads : sequence of (int, int, int, int)
+            Sorted index quadruples whose fourth derivatives are needed;
+            every sub-triple must appear in ``third_triples`` (and so on
+            down — pass sets from ``Model.plan_closure``).
 
         Returns
         -------
-        (V, T, S, R): value ``(N, out)``, dict dir -> first tangent, dict
-        pair -> second tangent, dict triple -> third tangent.
+        (V, T, S, R, F): value ``(N, out)``, dict dir -> first tangent,
+        dict pair -> second, dict triple -> third, dict quad -> fourth.
         """
+        import itertools
+
         r_keys = [tuple(p) for p in third_triples]
+        f_keys = [tuple(p) for p in fourth_quads]
         # Enforce the closure precondition instead of trusting it: the
-        # activation chain rule for a triple reads T of each member and S of
-        # each sub-pair; a missing entry would silently produce wrong third
-        # derivatives (Model.plan_closure builds conforming sets).
+        # activation chain rule for a triple/quad reads T of each member and
+        # S/R of each sub-pair/sub-triple; a missing entry would silently
+        # produce wrong derivatives (Model.plan_closure builds conforming
+        # sets).
+        pair_set = set(map(tuple, second_pairs))
         for p in r_keys:
-            for q in ((p[0], p[1]), (p[0], p[2]), (p[1], p[2])):
-                if tuple(sorted(q)) not in set(map(tuple, second_pairs)):
+            for q in itertools.combinations(p, 2):
+                if tuple(sorted(q)) not in pair_set:
                     raise ValueError(
                         f"third_triples entry {p} needs sub-pair "
                         f"{tuple(sorted(q))} in second_pairs; pass sets from "
@@ -298,12 +311,22 @@ def make_layout_network(layout, features, activation, in_dim,
                     raise ValueError(
                         f"third_triples entry {p} needs direction {a} in "
                         "first_dirs; pass sets from Model.plan_closure")
+        triple_set = set(r_keys)
+        for p in f_keys:
+            for q in itertools.combinations(p, 3):
+                if tuple(sorted(q)) not in triple_set:
+                    raise ValueError(
+                        f"fourth_quads entry {p} needs sub-triple "
+                        f"{tuple(sorted(q))} in third_triples; pass sets "
+                        "from Model.plan_closure")
         if init is not None:
             V, T, S = init[:3]
             T = dict(T)
             S = dict(S)
             R = dict(init[3]) if len(init) > 3 else {
                 p: jnp.zeros_like(V) for p in r_keys}
+            F = dict(init[4]) if len(init) > 4 else {
+                p: jnp.zeros_like(V) for p in f_keys}
         else:
             n = x.shape[0]
             in_dim = x.shape[1]
@@ -314,6 +337,7 @@ def make_layout_network(layout, features, activation, in_dim,
                  for a in first_dirs}
             S = {p: jnp.zeros((n, in_dim), x.dtype) for p in second_pairs}
             R = {p: jnp.zeros((n, in_dim), x.dtype) for p in r_keys}
+            F = {p: jnp.zeros((n, in_dim), x.dtype) for p in f_keys}
         t_keys = list(first_dirs)
         s_keys = list(second_pairs)
         stack = []
@@ -324,7 +348,8 @@ def make_layout_network(layout, features, activation, in_dim,
                 layer = params[layer_names[di_]]
                 w = layer["w"]
                 blocks = ([V] + [T[a] for a in t_keys]
-                          + [S[a] for a in s_keys] + [R[p] for p in r_keys])
+                          + [S[a] for a in s_keys] + [R[p] for p in r_keys]
+                          + [F[p] for p in f_keys])
                 out = jnp.dot(jnp.concatenate(blocks, axis=0), w,
                               precision=jax.lax.Precision.HIGHEST)
                 parts = jnp.split(out, len(blocks), axis=0)
@@ -334,6 +359,9 @@ def make_layout_network(layout, features, activation, in_dim,
                      for i, a in enumerate(s_keys)}
                 R = {p: parts[1 + len(t_keys) + len(s_keys) + i]
                      for i, p in enumerate(r_keys)}
+                F = {p: parts[1 + len(t_keys) + len(s_keys) + len(r_keys)
+                              + i]
+                     for i, p in enumerate(f_keys)}
                 di_ += 1
             elif tok == "a":
                 act = acts[ai_]
@@ -342,10 +370,35 @@ def make_layout_network(layout, features, activation, in_dim,
                     dact = lambda z: jax.jvp(act, (z,), (ones_like(z),))[1]
                     d2 = jax.jvp(dact, (V,), (ones_like(V),))[1]
                     if r_keys:
-                        d3 = jax.jvp(
-                            lambda z: jax.jvp(dact, (z,),
-                                              (ones_like(z),))[1],
-                            (V,), (ones_like(V),))[1]
+                        d2act = lambda z: jax.jvp(dact, (z,),
+                                                  (ones_like(z),))[1]
+                        d3 = jax.jvp(d2act, (V,), (ones_like(V),))[1]
+                        if f_keys:
+                            d4 = jax.jvp(
+                                lambda z: jax.jvp(d2act, (z,),
+                                                  (ones_like(z),))[1],
+                                (V,), (ones_like(V),))[1]
+                            # Faà di Bruno over the 15 set partitions of the
+                            # four positions (valid with repeated indices).
+                            F = {p: (d4 * T[p[0]] * T[p[1]] * T[p[2]]
+                                     * T[p[3]]
+                                     + d3 * (
+                                         S[(p[0], p[1])] * T[p[2]] * T[p[3]]
+                                         + S[(p[0], p[2])] * T[p[1]] * T[p[3]]
+                                         + S[(p[0], p[3])] * T[p[1]] * T[p[2]]
+                                         + S[(p[1], p[2])] * T[p[0]] * T[p[3]]
+                                         + S[(p[1], p[3])] * T[p[0]] * T[p[2]]
+                                         + S[(p[2], p[3])] * T[p[0]] * T[p[1]])
+                                     + d2 * (
+                                         S[(p[0], p[1])] * S[(p[2], p[3])]
+                                         + S[(p[0], p[2])] * S[(p[1], p[3])]
+                                         + S[(p[0], p[3])] * S[(p[1], p[2])]
+                                         + R[(p[0], p[1], p[2])] * T[p[3]]
+                                         + R[(p[0], p[1], p[3])] * T[p[2]]
+                                         + R[(p[0], p[2], p[3])] * T[p[1]]
+                                         + R[(p[1], p[2], p[3])] * T[p[0]])
+                                     + d1 * F[p])
+                                 for p in f_keys}
                         R = {p: (d3 * T[p[0]] * T[p[1]] * T[p[2]]
                                  + d2 * (S[(p[0], p[1])] * T[p[2]]
                                          + S[(p[0], p[2])] * T[p[1]]
@@ -358,14 +411,15 @@ def make_layout_network(layout, features, activation, in_dim,
                 T = {a: d1 * T[a] for a in t_keys}
                 ai_ += 1
             elif tok == "R":
-                stack.append((V, dict(T), dict(S), dict(R)))
+                stack.append((V, dict(T), dict(S), dict(R), dict(F)))
             elif tok == "+":
-                V0, T0, S0, R0 = stack.pop()
+                V0, T0, S0, R0, F0 = stack.pop()
                 V = V + V0
                 T = {a: T[a] + T0[a] for a in t_keys}
                 S = {a: S[a] + S0[a] for a in s_keys}
                 R = {p: R[p] + R0[p] for p in r_keys}
-        return V, T, S, R
+                F = {p: F[p] + F0[p] for p in f_keys}
+        return V, T, S, R, F
 
     # Expose the resolved structure for the fused Pallas inference kernel
     # (ops/pallas_mlp.py) and the Taylor-mode fast path without changing the

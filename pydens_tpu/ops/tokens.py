@@ -315,14 +315,14 @@ def D(y, x):
 
     # Derivative planning: track pure field taps (the field or one of its
     # derivatives, differentiated directly).  Plannable multi-indices are
-    # order <= 3 (pure AND mixed — Laplacians, heat/wave, KdV/dispersion);
-    # order >= 4 — and any D applied to a composite expression — voids the
-    # plan for this context (the nested-jvp closure above remains the
-    # universal fallback).
+    # order <= 4 (pure AND mixed — Laplacians, heat/wave, KdV/dispersion,
+    # biharmonic/plate bending); order >= 5 — and any D applied to a
+    # composite expression — voids the plan for this context (the
+    # nested-jvp closure above remains the universal fallback).
     deriv = None
     if y.deriv is not None:
         candidate = tuple(sorted(y.deriv + (k,)))
-        if len(candidate) <= 3:
+        if len(candidate) <= 4:
             deriv = candidate
             ctx.derivs.add(candidate)
         else:

@@ -245,7 +245,7 @@ class Solver:
         with variable_scope("create", registry):
             jax.eval_shape(_discover, params, dummy)
         # Derivative plan: valid when every D in the equation is a pure
-        # field tap of order <= 3 and the model can Taylor-propagate.
+        # field tap of order <= 4 and the model can Taylor-propagate.
         self._plan_derivs = plan_info["derivs"]
         self._plan_ok = (plan_info["ok"] and bool(plan_info["derivs"])
                          and self.model.supports_taylor)
@@ -401,7 +401,10 @@ class Solver:
         constraints too.  ``fwd.grad(*pts, wrt=k)`` evaluates the solution's
         derivative w.r.t. coordinate column ``k`` at fixed points — the
         building block for Neumann/Robin boundary conditions (superset of
-        the reference's ``_forward``, ``model_torch.py:451-457``)."""
+        the reference's ``_forward``, ``model_torch.py:451-457``).  ``wrt``
+        also accepts a multi-index tuple, e.g. ``wrt=(0, 0)`` for the
+        second derivative (bending-moment conditions ``u_xx = 0`` of
+        simply-supported beams/plates)."""
         model = self.model
 
         def fwd(*pts):
@@ -416,9 +419,18 @@ class Solver:
         def fwd_grad(*pts, wrt=0):
             xs_c = self._concat_traced(
                 [p.value if isinstance(p, Expr) else p for p in pts])
-            tangent = jnp.zeros_like(xs_c).at[:, wrt].set(1.0)
-            return jax.jvp(lambda z: model.apply(params, z),
-                           (xs_c,), (tangent,))[1]
+            multi = (wrt,) if isinstance(wrt, int) else tuple(wrt)
+
+            def tap(k, inner):
+                def tapped(z):
+                    tangent = jnp.zeros_like(z).at[:, k].set(1.0)
+                    return jax.jvp(inner, (z,), (tangent,))[1]
+                return tapped
+
+            g = lambda z: model.apply(params, z)
+            for k in multi:
+                g = tap(k, g)
+            return g(xs_c)
 
         fwd.grad = fwd_grad
         return fwd
@@ -521,8 +533,9 @@ class Solver:
         batch the plan's single traversal wins (per-op overhead dominates).
         Crossover measured at ~2M stacked f32 elements on v5e; the ensemble
         vmaps the traversal, scaling the state ``n_models``-fold."""
-        firsts, pairs, triples = self.model.plan_closure(self._plan_derivs)
-        n_blocks = 1 + len(firsts) + len(pairs) + len(triples)
+        firsts, pairs, triples, quads = self.model.plan_closure(
+            self._plan_derivs)
+        n_blocks = 1 + len(firsts) + len(pairs) + len(triples) + len(quads)
         width = max(getattr(self.model, "features", None)
                     or [self.model.total])
         return (self.n_models * int(batch_size) * n_blocks * width
@@ -742,7 +755,7 @@ class Solver:
         and a device-capable sampler); ``fast_taps`` controls the
         Taylor-mode derivative fast path (``'auto'`` uses it whenever the
         equation's derivative structure allows — pure field taps of order
-        <= 3 on a layout-built network — AND the batch is small enough
+        <= 4 on a layout-built network — AND the batch is small enough
         that the step is not HBM-bandwidth-bound, the regime where the
         plan wins; ``True``/``'always'`` forces the plan at any batch;
         ``False`` forces the nested-jvp path, e.g. for debugging);

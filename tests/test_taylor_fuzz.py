@@ -18,13 +18,15 @@ ACTS = ["Tanh", "Sigmoid", "sin", "gelu", "softplus"]
 
 
 def random_equation(rng, total, n_out):
-    """Build a random residual from field taps of order <= 3 + algebra.
+    """Build a random residual from field taps of order <= 4 + algebra.
     The random structure is drawn HERE, once — the returned callable must be
     deterministic (it is traced multiple times, like any jitted function)."""
     second_pairs = [(rng.randrange(total), rng.randrange(total))
                     for _ in range(rng.randint(1, 3))]
     third_triples = [tuple(rng.randrange(total) for _ in range(3))
                      for _ in range(rng.randint(0, 2))]
+    fourth_quads = [tuple(rng.randrange(total) for _ in range(4))
+                    for _ in range(rng.randint(0, 1))]
     first_dir = rng.randrange(total)
     coeff = rng.uniform(0.5, 2.0)
     nl_dir = rng.randrange(total)
@@ -33,6 +35,9 @@ def random_equation(rng, total, n_out):
         terms = [D(D(f, coords[a]), coords[b]) for a, b in second_pairs]
         terms.extend(D(D(D(f, coords[a]), coords[b]), coords[c])
                      for a, b, c in third_triples)
+        terms.extend(D(D(D(D(f, coords[a]), coords[b]), coords[c]),
+                       coords[d])
+                     for a, b, c, d in fourth_quads)
         terms.append(coeff * D(f, coords[first_dir]))
         terms.append(f * D(f, coords[nl_dir]))
         terms.append(pdt.sin(coords[0] + 0.3) * 0.7)

@@ -162,9 +162,48 @@ def test_third_order_planned_with_periodic_embedding():
     _diff_check(solver, 2, tol=5e-5)
 
 
-def test_fourth_order_falls_back():
+def test_fourth_order_planned_and_exact():
+    # Euler–Bernoulli beam operator: u_xxxx - load.
     def pde(f, x):
-        return D(D(D(D(f, x), x), x), x)
+        return D(D(D(D(f, x), x), x), x) - f
+
+    solver = Solver(pde, ndims=1, seed=0, layout="fafaf",
+                    features=[10, 10, 1], activation="Tanh")
+    assert solver._plan_ok
+    assert (0, 0, 0, 0) in solver._plan_derivs
+    _diff_check(solver, 1, tol=5e-5)
+
+
+def test_biharmonic_mixed_quad_planned_and_exact():
+    # 2D biharmonic: u_xxxx + 2 u_xxyy + u_yyyy, with a Dirichlet ansatz.
+    def pde(f, x, y):
+        uxx = D(D(f, x), x)
+        uyy = D(D(f, y), y)
+        return (D(D(uxx, x), x) + 2 * D(D(uxx, y), y) + D(D(uyy, y), y)
+                - 1.0)
+
+    solver = Solver(pde, ndims=2, seed=0, boundary_condition=0,
+                    layout="fafaf", features=[10, 10, 1], activation="Tanh")
+    assert solver._plan_ok
+    assert (0, 0, 1, 1) in solver._plan_derivs
+    assert (0, 0, 0, 0) in solver._plan_derivs
+    _diff_check(solver, 2, tol=1e-4)
+
+
+def test_fourth_order_planned_with_periodic_embedding():
+    def pde(f, x, t):
+        return D(f, t) + D(D(D(D(f, x), x), x), x)
+
+    solver = Solver(pde, ndims=2, seed=0, periodic=(0,), layout="fafaf",
+                    features=[8, 8, 1], initial_condition=0.0)
+    assert solver._plan_ok
+    _diff_check(solver, 2, tol=1e-4)
+
+
+def test_fifth_order_falls_back():
+    def pde(f, x):
+        d4 = D(D(D(D(f, x), x), x), x)
+        return D(d4, x)
 
     solver = Solver(pde, ndims=1, seed=0)
     assert not solver._plan_ok
