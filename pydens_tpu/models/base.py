@@ -387,27 +387,25 @@ class Model:
 
     @staticmethod
     def plan_closure(derivs):
-        """Downward-closed derivative sets for one Taylor traversal:
-        ``(first_dirs, second_pairs, third_triples, fourth_quads)``, each
-        sorted.  A higher-order tap needs every sub-multi-index below it for
-        the activation chain rules; the traversal's stacked state has
-        ``1 + len(first) + len(second) + len(third) + len(fourth)`` blocks.
-        Single source of truth for :meth:`full_taps` and the Solver's
-        ``fast_taps='auto'`` cost heuristic."""
-        import itertools
+        """Downward-closed derivative set for one Taylor traversal: the
+        sorted list of every sub-multi-index of every requested derivative
+        (any order).  A higher-order tap needs every sub-multi-index below
+        it for the activation chain rules; the traversal's stacked state
+        has ``1 + len(closure)`` blocks.  Single source of truth for
+        :meth:`full_taps` and the Solver's ``fast_taps='auto'`` cost
+        heuristic."""
+        closure = set()
 
-        fourth_quads = sorted({d for d in derivs if len(d) == 4})
-        third_triples = set(d for d in derivs if len(d) == 3)
-        for qd in fourth_quads:
-            for tr in itertools.combinations(qd, 3):
-                third_triples.add(tuple(sorted(tr)))
-        third_triples = sorted(third_triples)
-        second_pairs = set(d for d in derivs if len(d) == 2)
-        for tr in third_triples:
-            for pair in itertools.combinations(tr, 2):
-                second_pairs.add(tuple(sorted(pair)))
-        first_dirs = sorted({a for d in derivs for a in d})
-        return first_dirs, sorted(second_pairs), third_triples, fourth_quads
+        def add(mi):
+            if not mi or mi in closure:
+                return
+            closure.add(mi)
+            for i in range(len(mi)):
+                add(mi[:i] + mi[i + 1:])
+
+        for d in derivs:
+            add(tuple(sorted(d)))
+        return sorted(closure, key=lambda m: (len(m), m))
 
     @property
     def supports_taylor(self):
@@ -415,35 +413,33 @@ class Model:
 
     def full_taps(self, params, xs, derivs):
         """All requested pure field taps of the FULL model (network body +
-        ansatz) in one Taylor-mode network traversal.
+        ansatz) in one Taylor-mode network traversal, any order.
 
-        ``derivs`` is a set of multi-indices: ``(a,)`` first, sorted
-        ``(a, b)`` second, ``(a, b, c)`` third and ``(a, b, c, d)`` fourth
-        derivatives (pure or mixed) w.r.t. coordinate columns.  The
-        requested set is closed downward first (a higher-order tap needs
-        every sub-multi-index for the activation chain rules).  The network
-        body propagates batched tangents (see
-        ``layout.make_layout_network``'s ``taylor``); the cheap ansatz
+        ``derivs`` is a set of sorted multi-indices (pure or mixed) w.r.t.
+        coordinate columns; it is closed downward first (a higher-order tap
+        needs every sub-multi-index for the activation chain rules).  The
+        network body propagates batched tangents (see
+        ``layout.make_layout_network``'s ``taylor_taps``); the cheap ansatz
         composes exactly through a polarized scalar Taylor substitution:
-        with one scalar per direction and the network's multilinear cross
-        expansion, e.g.
-        ``net(s, t, r) = V + s*T_a + t*T_b + r*T_c + st*S_ab + sr*S_ac
-        + tr*S_bc + str*R_abc``, the mixed partial
-        ``d^3/(ds dt dr) anzatc(net(s,t,r), x + s e_a + t e_b + r e_c)``
-        at 0 is exactly the composite's third derivative — a mixed partial
-        in DISTINCT scalars only ever reads the multilinear cross terms, and
-        polarization covers repeated indices (``a == b`` etc.).  Fourth
-        order extends the same device with four scalars and the full
-        multilinear expansion (6 pair + 4 triple + 1 quad cross terms).
+        with one scalar per position of the multi-index ``p`` and the
+        network's multilinear cross expansion
+
+            ``net(s_0..s_{m-1}) = V + sum over nonempty position subsets B
+            of (prod_{i in B} s_i) * tap[sorted(p[B])]``,
+
+        the mixed partial ``d^m/(ds_0..ds_{m-1})`` of
+        ``anzatc(net(s), xs + sum_i s_i e_{p_i})`` at 0 is exactly the
+        composite's derivative: a mixed partial in DISTINCT scalars only
+        ever reads the multilinear cross terms, and polarization covers
+        repeated indices (``p_i == p_j``).
 
         Returns a dict: multi-index -> (N, n_out) array, always including
         ``()`` (the field value).
         """
-        first_dirs, second_pairs, third_triples, fourth_quads = \
-            self.plan_closure(derivs)
-        V, T, S, R, F = self.network_apply_taylor(
-            params["net"], xs, first_dirs, second_pairs,
-            third_triples=third_triples, fourth_quads=fourth_quads)
+        import itertools
+
+        closure = self.plan_closure(derivs)
+        V, taps = self.network_apply_taylor(params["net"], xs, closure)
         table = {(): self.anzatc(V, xs, params)}
         n_total = xs.shape[1]
         zero = jnp.zeros((), self.dtype)
@@ -452,75 +448,38 @@ class Model:
         def basis(a):
             return jnp.zeros((n_total,), self.dtype).at[a].set(1.0)
 
-        for a in first_dirs:
-            def phi(s, t_a=T[a], e_a=basis(a)):
-                return self.anzatc(V + s * t_a, xs + s * e_a, params)
+        def nth(fn, m):
+            """Mixed partial d^m/(ds_0..ds_{m-1}) fn(s_0..s_{m-1}) at 0."""
+            if m == 0:
+                return fn()
 
-            table[(a,)] = jax.jvp(phi, (zero,), (one,))[1]
+            def g(*rest):
+                return jax.jvp(lambda s0: fn(s0, *rest), (zero,), (one,))[1]
 
-        for (a, b) in second_pairs:
-            def phi2(s, t, t_a=T[a], t_b=T[b], s_ab=S[(a, b)],
-                     e_a=basis(a), e_b=basis(b)):
-                net_st = V + s * t_a + t * t_b + (s * t) * s_ab
-                return self.anzatc(net_st, xs + s * e_a + t * e_b, params)
+            return nth(g, m - 1)
 
-            d_ab = jax.jvp(
-                lambda s: jax.jvp(lambda t, s=s: phi2(s, t),
-                                  (zero,), (one,))[1],
-                (zero,), (one,))[1]
-            table[(a, b)] = d_ab
+        for mi in sorted({tuple(sorted(d)) for d in derivs},
+                         key=lambda m: (len(m), m)):
+            m = len(mi)
+            subsets = [B for r in range(1, m + 1)
+                       for B in itertools.combinations(range(m), r)]
+            tap_for = {B: taps[tuple(sorted(mi[i] for i in B))]
+                       for B in subsets}
+            es = [basis(mi[i]) for i in range(m)]
 
-        for (a, b, c) in third_triples:
-            def phi3(s, t, r, t_a=T[a], t_b=T[b], t_c=T[c],
-                     s_ab=S[tuple(sorted((a, b)))],
-                     s_ac=S[tuple(sorted((a, c)))],
-                     s_bc=S[tuple(sorted((b, c)))],
-                     r_abc=R[(a, b, c)],
-                     e_a=basis(a), e_b=basis(b), e_c=basis(c)):
-                net_str = (V + s * t_a + t * t_b + r * t_c
-                           + (s * t) * s_ab + (s * r) * s_ac
-                           + (t * r) * s_bc + (s * t * r) * r_abc)
-                return self.anzatc(
-                    net_str, xs + s * e_a + t * e_b + r * e_c, params)
+            def phi(*svec, tap_for=tap_for, es=es, subsets=subsets, m=m):
+                net = V
+                for B in subsets:
+                    coef = svec[B[0]]
+                    for i in B[1:]:
+                        coef = coef * svec[i]
+                    net = net + coef * tap_for[B]
+                shift = xs
+                for i in range(m):
+                    shift = shift + svec[i] * es[i]
+                return self.anzatc(net, shift, params)
 
-            d_abc = jax.jvp(
-                lambda s: jax.jvp(
-                    lambda t, s=s: jax.jvp(
-                        lambda r, s=s, t=t: phi3(s, t, r),
-                        (zero,), (one,))[1],
-                    (zero,), (one,))[1],
-                (zero,), (one,))[1]
-            table[(a, b, c)] = d_abc
-
-        for (a, b, c, d) in fourth_quads:
-            def phi4(s, t, r, q, t_a=T[a], t_b=T[b], t_c=T[c], t_d=T[d],
-                     s_ab=S[(a, b)], s_ac=S[(a, c)], s_ad=S[(a, d)],
-                     s_bc=S[(b, c)], s_bd=S[(b, d)], s_cd=S[(c, d)],
-                     r_abc=R[(a, b, c)], r_abd=R[(a, b, d)],
-                     r_acd=R[(a, c, d)], r_bcd=R[(b, c, d)],
-                     f_abcd=F[(a, b, c, d)],
-                     e_a=basis(a), e_b=basis(b), e_c=basis(c), e_d=basis(d)):
-                net_strq = (V + s * t_a + t * t_b + r * t_c + q * t_d
-                            + (s * t) * s_ab + (s * r) * s_ac
-                            + (s * q) * s_ad + (t * r) * s_bc
-                            + (t * q) * s_bd + (r * q) * s_cd
-                            + (s * t * r) * r_abc + (s * t * q) * r_abd
-                            + (s * r * q) * r_acd + (t * r * q) * r_bcd
-                            + (s * t * r * q) * f_abcd)
-                return self.anzatc(
-                    net_strq,
-                    xs + s * e_a + t * e_b + r * e_c + q * e_d, params)
-
-            d_abcd = jax.jvp(
-                lambda s: jax.jvp(
-                    lambda t, s=s: jax.jvp(
-                        lambda r, s=s, t=t: jax.jvp(
-                            lambda q, s=s, t=t, r=r: phi4(s, t, r, q),
-                            (zero,), (one,))[1],
-                        (zero,), (one,))[1],
-                    (zero,), (one,))[1],
-                (zero,), (one,))[1]
-            table[(a, b, c, d)] = d_abcd
+            table[mi] = nth(phi, m)
         return table
 
     # -- stateful conveniences ----------------------------------------------
@@ -636,49 +595,25 @@ class ConvBlockModel(Model):
     def network_apply(self, net_params, xs):
         return self._net_apply(net_params, self._embed(xs))
 
-    def network_apply_taylor(self, net_params, xs, first_dirs,
-                             second_pairs, third_triples=(),
-                             fourth_quads=()):
+    def network_apply_taylor(self, net_params, xs, closure):
         init = None
         if self.periodic_dims:
             # Taylor state of the embedding w.r.t. the original coordinates
-            # (cheap elementwise jvp taps), fed into the network traversal.
-            V0 = self._embed(xs)
-            T0, S0, R0, F0 = {}, {}, {}, {}
-
+            # (cheap elementwise jvp taps, any order), fed into the network
+            # traversal.
             def e(a):
                 return jnp.zeros_like(xs).at[:, a].set(1.0)
 
-            for a in first_dirs:
-                _, t = jax.jvp(self._embed, (xs,), (e(a),))
-                T0[a] = t
-            for (a, b) in second_pairs:
-                _, s = jax.jvp(
-                    lambda z: jax.jvp(self._embed, (z,), (e(b),))[1],
-                    (xs,), (e(a),))
-                S0[(a, b)] = s
-            for (a, b, c) in third_triples:
-                _, r = jax.jvp(
-                    lambda z: jax.jvp(
-                        lambda z2: jax.jvp(self._embed, (z2,), (e(c),))[1],
-                        (z,), (e(b),))[1],
-                    (xs,), (e(a),))
-                R0[(a, b, c)] = r
-            for (a, b, c, d) in fourth_quads:
-                _, f4 = jax.jvp(
-                    lambda z: jax.jvp(
-                        lambda z2: jax.jvp(
-                            lambda z3: jax.jvp(self._embed, (z3,),
-                                               (e(d),))[1],
-                            (z2,), (e(c),))[1],
-                        (z,), (e(b),))[1],
-                    (xs,), (e(a),))
-                F0[(a, b, c, d)] = f4
-            init = (V0, T0, S0, R0, F0)
-        return self._net_apply.taylor(net_params, self._embed(xs),
-                                      first_dirs, second_pairs, init=init,
-                                      third_triples=third_triples,
-                                      fourth_quads=fourth_quads)
+            taps0 = {}
+            for mi in closure:
+                fn = self._embed
+                for k in mi:
+                    fn = (lambda f, kk: lambda z: jax.jvp(
+                        f, (z,), (e(kk),))[1])(fn, k)
+                taps0[tuple(mi)] = fn(xs)
+            init = (self._embed(xs), taps0)
+        return self._net_apply.taylor_taps(net_params, self._embed(xs),
+                                           closure, init=init)
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

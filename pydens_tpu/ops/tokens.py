@@ -40,7 +40,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Expr", "D", "V", "variable_scope", "as_array", "lift"]
+__all__ = ["Expr", "D", "V", "variable_scope", "as_array", "lift",
+           "PLAN_MAX_ORDER"]
+
+# Highest derivative order the Taylor plan will schedule.  The per-order
+# Faà di Bruno activation rule has Bell(n) terms (1, 2, 5, 15, 52, 203 for
+# n = 1..6) and the ansatz substitution 2^n - 1 cross terms, so compile
+# time grows steeply past this; deeper nesting falls back to nested jvp,
+# which is always correct.
+PLAN_MAX_ORDER = 6
 
 
 class EvalContext:
@@ -315,14 +323,15 @@ def D(y, x):
 
     # Derivative planning: track pure field taps (the field or one of its
     # derivatives, differentiated directly).  Plannable multi-indices are
-    # order <= 4 (pure AND mixed — Laplacians, heat/wave, KdV/dispersion,
-    # biharmonic/plate bending); order >= 5 — and any D applied to a
-    # composite expression — voids the plan for this context (the
-    # nested-jvp closure above remains the universal fallback).
+    # order <= PLAN_MAX_ORDER (pure AND mixed — Laplacians, heat/wave,
+    # KdV/dispersion, biharmonic/plate bending, and beyond); deeper
+    # nesting — and any D applied to a composite expression — voids the
+    # plan for this context (the nested-jvp closure above remains the
+    # universal fallback).
     deriv = None
     if y.deriv is not None:
         candidate = tuple(sorted(y.deriv + (k,)))
-        if len(candidate) <= 4:
+        if len(candidate) <= PLAN_MAX_ORDER:
             deriv = candidate
             ctx.derivs.add(candidate)
         else:

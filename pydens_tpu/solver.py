@@ -245,7 +245,8 @@ class Solver:
         with variable_scope("create", registry):
             jax.eval_shape(_discover, params, dummy)
         # Derivative plan: valid when every D in the equation is a pure
-        # field tap of order <= 4 and the model can Taylor-propagate.
+        # field tap of order <= PLAN_MAX_ORDER and the model can
+        # Taylor-propagate.
         self._plan_derivs = plan_info["derivs"]
         self._plan_ok = (plan_info["ok"] and bool(plan_info["derivs"])
                          and self.model.supports_taylor)
@@ -533,9 +534,7 @@ class Solver:
         batch the plan's single traversal wins (per-op overhead dominates).
         Crossover measured at ~2M stacked f32 elements on v5e; the ensemble
         vmaps the traversal, scaling the state ``n_models``-fold."""
-        firsts, pairs, triples, quads = self.model.plan_closure(
-            self._plan_derivs)
-        n_blocks = 1 + len(firsts) + len(pairs) + len(triples) + len(quads)
+        n_blocks = 1 + len(self.model.plan_closure(self._plan_derivs))
         width = max(getattr(self.model, "features", None)
                     or [self.model.total])
         return (self.n_models * int(batch_size) * n_blocks * width
@@ -755,7 +754,7 @@ class Solver:
         and a device-capable sampler); ``fast_taps`` controls the
         Taylor-mode derivative fast path (``'auto'`` uses it whenever the
         equation's derivative structure allows — pure field taps of order
-        <= 4 on a layout-built network — AND the batch is small enough
+        <= 6 on a layout-built network — AND the batch is small enough
         that the step is not HBM-bandwidth-bound, the regime where the
         plan wins; ``True``/``'always'`` forces the plan at any batch;
         ``False`` forces the nested-jvp path, e.g. for debugging);

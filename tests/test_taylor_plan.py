@@ -200,10 +200,28 @@ def test_fourth_order_planned_with_periodic_embedding():
     _diff_check(solver, 2, tol=1e-4)
 
 
-def test_fifth_order_falls_back():
+def test_sixth_order_planned_and_exact():
+    # The generic partition rule covers any order <= PLAN_MAX_ORDER: u_xxxxxx
+    # (e.g. the tri-harmonic/phase-field-crystal operator class).
     def pde(f, x):
-        d4 = D(D(D(D(f, x), x), x), x)
-        return D(d4, x)
+        d = f
+        for _ in range(6):
+            d = D(d, x)
+        return d - f
+
+    solver = Solver(pde, ndims=1, seed=0, layout="fa f", features=[8, 1],
+                    activation="Tanh")
+    assert solver._plan_ok
+    assert (0,) * 6 in solver._plan_derivs
+    _diff_check(solver, 1, tol=2e-4)
+
+
+def test_seventh_order_falls_back():
+    def pde(f, x):
+        d = f
+        for _ in range(7):
+            d = D(d, x)
+        return d
 
     solver = Solver(pde, ndims=1, seed=0)
     assert not solver._plan_ok

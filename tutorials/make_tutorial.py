@@ -167,6 +167,30 @@ probe = np.linspace(0, 1, 2000)
 print('mean |residual| with adaptive sampling:',
       adaptive.residual(probe).mean())
 """),
+    md("""## 7. Higher-order PDEs (KdV, beams)
+
+`D` nests to any order; orders ≤ 6 ride the Taylor-plan fast path (all
+derivative taps in ONE network traversal).  A fourth-order Euler–Bernoulli
+beam `u'''' = q` needs four boundary conditions: the ansatz binds the
+Dirichlet pair, constraints on the forward closure bind the clamping pair
+(`fwd.grad(points, wrt=0)`; `wrt=(0, 0)` would give bending moments):"""),
+    code("""
+def beam(f, x):
+    return (D(D(D(D(f, x), x), x), x) - 384.0) / 384.0
+
+left, right = np.array([0.], np.float32), np.array([1.], np.float32)
+beam_solver = Solver(beam, ndims=1, boundary_condition=0, activation='Tanh',
+                     layout='fa fa f', features=[24, 24, 1],
+                     constraints=(lambda f, x: f.grad(left, wrt=0),
+                                  lambda f, x: f.grad(right, wrt=0)))
+beam_solver.fit(niters=400, batch_size=256, lr=0.01,
+                loss_terms={'equation': 1.0, 'constraint_0': 10.0,
+                            'constraint_1': 10.0})
+print('fourth-order taps planned:', beam_solver._plan_ok)
+print('loss so far:', beam_solver.losses[-1])
+# (examples/12_biharmonic_beam.py trains this to 1e-4 max error vs the
+#  analytic 16 x^2 (1-x)^2 with an L-BFGS finishing phase.)
+"""),
     md("""## Scaling out
 
 On multi-chip hardware, pass a mesh and the collocation batch shards over
