@@ -18,3 +18,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Opt-in persistent compilation cache: measured 3x on repeat compiles of the
+# same configs (BENCHMARKS.md), but jax 0.9's CPU AOT loader logs
+# machine-feature-mismatch errors (prefer-no-scatter/gather pseudo-features)
+# and warns of possible SIGILL when reloading, so it stays off unless asked.
+if os.environ.get("PYDENS_TPU_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["PYDENS_TPU_COMPILE_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
