@@ -566,6 +566,7 @@ class ConvBlockModel(Model):
             make_layout_network(layout, self.features, activation,
                                 in_dim=in_dim, dtype=dtype)
         self._fused_apply = None
+        self._fused_taylor_cache = {}
         if not self._net_apply.taylor_ok:
             # Non-elementwise activation: the Taylor fast path would be
             # silently wrong — disable it (shadows the class method, so
@@ -596,6 +597,9 @@ class ConvBlockModel(Model):
         return self._net_apply(net_params, self._embed(xs))
 
     def network_apply_taylor(self, net_params, xs, closure):
+        fused = self._fused_taylor_for(closure)
+        if fused is not None:
+            return fused(net_params, self._embed(xs))
         init = None
         if self.periodic_dims:
             # Taylor state of the embedding w.r.t. the original coordinates
@@ -614,6 +618,30 @@ class ConvBlockModel(Model):
             init = (self._embed(xs), taps0)
         return self._net_apply.taylor_taps(net_params, self._embed(xs),
                                            closure, init=init)
+
+    def _fused_taylor_for(self, closure):
+        """The fused Pallas Taylor forward+backward for this (layout, plan),
+        or None.  Opt-in via ``PYDENS_TPU_FUSED_TAYLOR=always`` (see
+        ops/pallas_taylor.py for the measured rationale); single model,
+        float32, dense-chain, order-<=2 plans only."""
+        import os
+        mode = os.environ.get("PYDENS_TPU_FUSED_TAYLOR", "never")
+        if mode != "always" or self.ensemble_size > 1:
+            return None
+        if self.dtype != jnp.float32 or self.periodic_dims:
+            return None
+        key = tuple(closure)
+        if key not in self._fused_taylor_cache:
+            from ..ops.pallas_taylor import make_fused_taylor, supports
+            tokens = self._net_apply.tokens
+            if not supports(tokens, closure, self.periodic_dims):
+                self._fused_taylor_cache[key] = None
+            else:
+                self._fused_taylor_cache[key] = make_fused_taylor(
+                    tokens, self._net_apply.activations, self.layer_names,
+                    in_dim=self.total, closure=list(closure),
+                    interpret=jax.default_backend() == "cpu")
+        return self._fused_taylor_cache[key]
 
     def network_apply_fused(self, net_params, xs):
         if self._fused_apply is None:

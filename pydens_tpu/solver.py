@@ -492,18 +492,30 @@ class Solver:
                                         keepdims=True)
             return acc
 
-        def loss_fn(params, leaves, point_weight=None):
+        # Static term order (and default weights): equation first, then the
+        # requested constraints — shared by the weighted sum and the
+        # grad-norm loss balancer.
+        term_order = (([("equation", eq_weight)]
+                       if eq_weight is not None else [])
+                      + [(f"constraint_{num}", w) for num, w in nums])
+
+        def loss_fn(params, leaves, point_weight=None, term_weights=None):
+            """Total loss; ``term_weights`` (a traced ``(n_terms,)`` vector)
+            overrides the static per-term weights — the hook the grad-norm
+            loss balancer uses (a one-hot vector isolates one term's
+            gradient)."""
             with variable_scope("read", params["variables"]):
                 ctx = make_ctx(params, leaves)
                 f = Expr(lambda ls: model.apply(
                     params, jnp.concatenate(ls, axis=1)), ctx, deriv=())
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
-                loss = jnp.asarray(0.0, dtype)
+                terms = []
                 if eq_weight is not None:
                     # The equation may return one residual or a tuple/list of
                     # coupled residuals (systems of equations — a superset of
                     # the scalar-only reference).
+                    acc = jnp.asarray(0.0, dtype)
                     for res in _as_residual_list(equation(f, *coords)):
                         res = as_array(res)
                         if point_weight is not None:
@@ -511,15 +523,21 @@ class Solver:
                             # scaling by sqrt(w) keeps the (MSE) loss an
                             # unbiased estimate of the uniform residual loss.
                             res = res * jnp.sqrt(point_weight)[:, None]
-                        loss = loss + eq_weight * criterion(
-                            res, jnp.zeros_like(leaves[0]))
+                        acc = acc + criterion(res, jnp.zeros_like(leaves[0]))
+                    terms.append(acc)
                 if nums:
                     fwd = self._make_forward(params, ctx)
-                    for num, w in nums:
+                    for num, _ in nums:
                         c = as_array(constraints[num](fwd, *coords))
-                        loss = loss + w * criterion(c, jnp.zeros((1,), dtype))
+                        terms.append(criterion(c, jnp.zeros((1,), dtype)))
+                loss = jnp.asarray(0.0, dtype)
+                for j, t in enumerate(terms):
+                    w = (term_order[j][1] if term_weights is None
+                         else term_weights[j])
+                    loss = loss + w * t
             return loss
 
+        loss_fn.term_order = term_order
         return loss_fn, point_residual
 
     def _flatten_spec(self):
@@ -552,13 +570,20 @@ class Solver:
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
-               cfg["use_plan"],
+               cfg["use_plan"], cfg["balance_every"],
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]
 
         loss_fn, point_residual = self._build_loss_fn(
             cfg["loss_terms"], cfg["criterion"], use_plan=cfg["use_plan"])
+        balance_every = cfg["balance_every"]
+        n_terms = len(loss_fn.term_order)
+        static_weights = np.asarray([w for _, w in loss_fn.term_order],
+                                    np.float32)
+        # Anchor for grad-norm balancing: the equation term when present
+        # (its weight stays at the user's value; the others adapt to it).
+        anchor_idx = 0
         adaptive = cfg["adaptive"]
         opt = cfg["opt"]
         mask = cfg["mask"]
@@ -589,9 +614,9 @@ class Solver:
         flatten_spec = self._flatten_spec()
         n_models = self.n_models
 
-        def flat_loss(theta, leaves, point_weight=None):
+        def flat_loss(theta, leaves, point_weight=None, term_weights=None):
             return loss_fn(_unflatten(flatten_spec, theta), leaves,
-                           point_weight)
+                           point_weight, term_weights)
 
         def flat_residual(theta, leaves):
             return point_residual(_unflatten(flatten_spec, theta), leaves)
@@ -627,8 +652,44 @@ class Solver:
                         lambda m, t: jnp.full(t.shape, m, dtype),
                         mask, self._param_template))
 
+            def rebalance(theta, leaves, point_weight, wts):
+                """Grad-norm loss balancing (Wang/Teng/Perdikaris-style):
+                per-term mean |grad| via one-hot term weights, constraint
+                weights pulled toward anchor_norm/term_norm x anchor_weight,
+                EMA-smoothed.  Runs every ``balance_every`` iterations —
+                n_terms extra backward passes, amortized to noise."""
+                norms = []
+                for j in range(n_terms):
+                    one_hot = jnp.zeros((n_terms,), dtype).at[j].set(1.0)
+                    if n_models > 1:
+                        g = jax.vmap(jax.grad(flat_loss),
+                                     in_axes=(0, None, None, None))(
+                            theta, leaves, point_weight, one_hot)
+                    else:
+                        g = jax.grad(flat_loss)(theta, leaves, point_weight,
+                                                one_hot)
+                    if not all_trainable:
+                        g = g * mask_vec
+                    norms.append(jnp.mean(jnp.abs(g)))
+                norms = jnp.stack(norms)
+                lam = (norms[anchor_idx] / (norms + 1e-12)
+                       * static_weights[anchor_idx])
+                # A nearly-satisfied term has a vanishing gradient; the raw
+                # ratio would blow its weight up and amplify that term's
+                # stochastic noise until it dominates training (measured:
+                # weight 1900x, solution destroyed).  Clip the target to two
+                # decades around the anchor weight.
+                lam = jnp.clip(lam, 0.01 * static_weights[anchor_idx],
+                               100.0 * static_weights[anchor_idx])
+                lam = lam.at[anchor_idx].set(static_weights[anchor_idx])
+                return 0.7 * wts + 0.3 * lam
+
             def body(i, state):
-                (theta, opt_state), losses = state
+                if balance_every:
+                    (theta, opt_state, wts), losses = state
+                else:
+                    (theta, opt_state), losses = state
+                    wts = None
                 if adaptive:
                     # Residual-based adaptive refinement: draw `adaptive` x
                     # batch candidates and build a hybrid batch — half
@@ -682,16 +743,30 @@ class Solver:
                     theta = jax.lax.with_sharding_constraint(
                         theta, theta_sharding)
                 leaves = [pts[:, c:c + 1] for c in range(total)]
+                if balance_every:
+                    # Warmup-only rebalancing (10 EMA updates): the
+                    # term-scale mismatch this corrects is visible from the
+                    # first steps; measuring forever instead boosts
+                    # already-satisfied constraints (vanishing gradients)
+                    # until their noise dominates — measured to destroy a
+                    # converged well-scaled run.
+                    step = start + i
+                    wts = jax.lax.cond(
+                        (step % balance_every == 0)
+                        & (step < 10 * balance_every),
+                        lambda w: rebalance(theta, leaves, point_weight, w),
+                        lambda w: w, wts)
                 if n_models > 1:
                     # One vmapped step trains the whole ensemble; the loss
                     # recorded is the ensemble mean.
                     loss_k, grad = jax.vmap(
                         jax.value_and_grad(flat_loss),
-                        in_axes=(0, None, None))(theta, leaves, point_weight)
+                        in_axes=(0, None, None, None))(
+                        theta, leaves, point_weight, wts)
                     loss = jnp.mean(loss_k)
                 else:
                     loss, grad = jax.value_and_grad(flat_loss)(
-                        theta, leaves, point_weight)
+                        theta, leaves, point_weight, wts)
                 if not all_trainable:
                     grad = grad * mask_vec
                 if needs_value_fn:
@@ -704,7 +779,9 @@ class Solver:
                 else:
                     updates, opt_state = opt.update(grad, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
-                return (theta, opt_state), losses.at[i].set(loss)
+                new_carry = ((theta, opt_state, wts) if balance_every
+                             else (theta, opt_state))
+                return new_carry, losses.at[i].set(loss)
 
             losses = jnp.zeros((chunk,), dtype)
             return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body,
@@ -725,7 +802,8 @@ class Solver:
     def fit(self, niters, batch_size, sampler=None, loss_terms="equation",
             optimizer="Adam", criterion="MSELoss", lr=0.005, losses=None,
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
-            adaptive=None, fast_taps="auto", callback=None, **kwargs):
+            adaptive=None, fast_taps="auto", callback=None,
+            loss_balancing=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -760,7 +838,19 @@ class Solver:
         ``False`` forces the nested-jvp path, e.g. for debugging);
         ``callback(iteration, chunk_losses)``
         fires after every compiled chunk (forces a device sync — for
-        logging/early-stopping hooks, keep ``chunk_size`` coarse).
+        logging/early-stopping hooks, keep ``chunk_size`` coarse);
+        ``loss_balancing=True`` (or an int interval, default 100) enables
+        grad-norm loss balancing for multi-term losses: during a warmup
+        window (10 rebalances, one every interval iterations) the per-term
+        mean |gradient| is measured (one extra backward pass per term) and
+        constraint weights are EMA-pulled toward
+        ``|grad_equation| / |grad_term|`` (clipped to two decades), then
+        frozen — the cure for mis-scaled equations drowning their
+        constraints, without hand-tuning weights.  Warmup-only is
+        deliberate: continuous rebalancing boosts already-satisfied
+        constraints whose gradients vanish (measured in BENCHMARKS.md).
+        The starting weights are the ``loss_terms`` values; the learned
+        weights land in ``history[-1]['balanced_weights']``.
         """
         fit_t0 = time.perf_counter()
         if int(niters) <= 0:
@@ -846,6 +936,24 @@ class Solver:
                                  "equation residual; include 'equation' in "
                                  "loss_terms")
 
+        balance_every = 0
+        if loss_balancing:
+            balance_every = (100 if loss_balancing is True
+                             else int(loss_balancing))
+            if balance_every < 1:
+                raise ValueError("loss_balancing must be True or a positive "
+                                 "rebalance interval in iterations")
+            if len(loss_terms) < 2:
+                raise ValueError(
+                    "loss_balancing needs at least two loss terms (an "
+                    "equation plus constraints) — a single term has nothing "
+                    "to balance against")
+            if self._opt_needs_value_fn:
+                raise ValueError(
+                    "loss_balancing is not supported with linesearch "
+                    "optimizers (LBFGS) — balance during the Adam phase, "
+                    "then polish with fixed weights")
+
         niters = int(niters)
         chunk = max(1, min(niters, int(chunk_size)))
         use_plan = bool(self._plan_ok) and fast_taps not in (False, "never")
@@ -860,6 +968,7 @@ class Solver:
                              frozenset(self.model._frozen_variables)),
                    sampler=sampler, sampler_key=sampler_key,
                    resample=bool(resample), adaptive=adaptive,
+                   balance_every=balance_every,
                    needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
@@ -929,7 +1038,18 @@ class Solver:
             all_losses.append((chunk_losses, n))
             return carry, chunk_losses, n
 
-        carry = (theta, self._opt_state)
+        if balance_every:
+            # Initial weights in the step's term order (equation first,
+            # then constraints in appearance order).
+            lt_dict = dict(loss_terms)
+            init_wts = (([float(lt_dict["equation"])]
+                         if "equation" in lt_dict else [])
+                        + [float(w) for t, w in loss_terms
+                           if "constraint" in t])
+            carry = (theta, self._opt_state,
+                     jnp.asarray(init_wts, self.model.dtype))
+        else:
+            carry = (theta, self._opt_state)
         all_losses = []
         iters_run = 0
         try:
@@ -957,7 +1077,12 @@ class Solver:
             # mid-fit error at a chunk boundary) must not discard the
             # trained state.
             self._step_counter += iters_run
-            theta, self._opt_state = carry
+            balanced_weights = None
+            if balance_every:
+                theta, self._opt_state, wts = carry
+                balanced_weights = np.asarray(wts).tolist()
+            else:
+                theta, self._opt_state = carry
             self.model.params = self._unflatten_jit(theta)
             if all_losses:
                 self.losses.extend(np.concatenate(
@@ -978,6 +1103,8 @@ class Solver:
             "first_loss": float(fit_losses[0]),
             "final_loss": float(fit_losses[-1]),
         })
+        if balanced_weights is not None:
+            self.history[-1]["balanced_weights"] = balanced_weights
         return self
 
     # ------------------------------------------------------------------

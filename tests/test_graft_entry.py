@@ -40,11 +40,21 @@ def test_dryrun_multichip_clean_process():
     # interpreter with no test-suite environment (MULTICHIP gate).  No
     # platform pre-pinning here — dryrun_multichip itself must configure
     # the virtual-device CPU backend before anything initializes JAX.
-    proc = _run(
-        "import __graft_entry__ as g\n"
-        "g.dryrun_multichip(8)\n"
-        "print('DRYRUN_OK')\n",
-        timeout=560)
+    code = ("import __graft_entry__ as g\n"
+            "g.dryrun_multichip(8)\n"
+            "print('DRYRUN_OK')\n")
+    proc = _run(code, timeout=560)
+    if proc.returncode != 0:
+        # One retry: on this box's single shared core the subprocess can be
+        # starved/killed under full-suite load (observed flake; passes in
+        # isolation).  The bug class this test guards — backend
+        # initialization order in the entry point — fails DETERMINISTICALLY,
+        # so a retry cannot mask it.
+        first_err = proc.stderr[-2000:]
+        proc = _run(code, timeout=560)
+        assert proc.returncode == 0, (
+            f"failed twice; first stderr:\n{first_err}\n---\nsecond "
+            f"stderr:\n{proc.stderr[-4000:]}")
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRYRUN_OK" in proc.stdout
 
