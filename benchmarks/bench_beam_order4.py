@@ -9,7 +9,6 @@ tunnel's fixed latency amortizes away.
 
 import time
 
-import numpy as np
 import jax
 
 from pydens_tpu import Solver, D

@@ -420,7 +420,8 @@ class Solver:
         def fwd_grad(*pts, wrt=0):
             xs_c = self._concat_traced(
                 [p.value if isinstance(p, Expr) else p for p in pts])
-            multi = (wrt,) if isinstance(wrt, int) else tuple(wrt)
+            multi = ((wrt,) if isinstance(wrt, (int, np.integer))
+                     else tuple(wrt))
 
             def tap(k, inner):
                 def tapped(z):
@@ -567,10 +568,15 @@ class Solver:
         compile costs tens of seconds, each training configuration compiles
         exactly once.
         """
+        import os
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
                cfg["use_plan"], cfg["balance_every"],
+               # The fused-Taylor decision happens at trace time inside the
+               # model; key it so toggling the env var between fits does not
+               # silently reuse the stale compiled path.
+               os.environ.get("PYDENS_TPU_FUSED_TAYLOR", "never"),
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]
@@ -621,7 +627,7 @@ class Solver:
         def flat_residual(theta, leaves):
             return point_residual(_unflatten(flatten_spec, theta), leaves)
 
-        def run_chunk(carry, base_key, start, n, host_pts):
+        def run_chunk(carry, base_key, start, fit_start, n, host_pts):
             """Run ``n <= chunk`` training steps; returns new carry and a
             ``(chunk,)`` loss buffer whose first ``n`` entries are valid."""
             n_batches = 1 if (adaptive or not resample) else chunk
@@ -749,11 +755,14 @@ class Solver:
                     # first steps; measuring forever instead boosts
                     # already-satisfied constraints (vanishing gradients)
                     # until their noise dominates — measured to destroy a
-                    # converged well-scaled run.
-                    step = start + i
+                    # converged well-scaled run.  The window is counted in
+                    # FIT-LOCAL iterations (`start` is the solver-lifetime
+                    # step, used for RNG folding) so balancing a warm solver
+                    # — the documented balance-then-polish flow — works.
+                    local = start + i - fit_start
                     wts = jax.lax.cond(
-                        (step % balance_every == 0)
-                        & (step < 10 * balance_every),
+                        (local % balance_every == 0)
+                        & (local < 10 * balance_every),
                         lambda w: rebalance(theta, leaves, point_weight, w),
                         lambda w: w, wts)
                 if n_models > 1:
@@ -1034,7 +1043,7 @@ class Solver:
                 host_pts = np.float32(0.0)  # unused placeholder
             carry, chunk_losses = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
-                np.int32(n), host_pts)
+                np.int32(self._step_counter), np.int32(n), host_pts)
             all_losses.append((chunk_losses, n))
             return carry, chunk_losses, n
 

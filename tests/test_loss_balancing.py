@@ -58,6 +58,24 @@ def test_balancing_harmless_on_well_scaled_equation():
     assert err < 0.02, err
 
 
+def test_balancing_works_on_warm_solver():
+    # The documented balance-then-continue flow: a solver with prior
+    # training must still rebalance (the warmup window is fit-local, not
+    # solver-lifetime — regression test for the global-step gate bug).
+    def beam_raw(f, x):
+        return D(D(D(D(f, x), x), x), x) - 384.0
+
+    s = _beam_solver(beam_raw)
+    s.fit(niters=1200, batch_size=256, lr=0.01, loss_terms=LT1,
+          progress=False)  # warm, unbalanced
+    s.fit(niters=300, batch_size=256, lr=0.01, loss_terms=LT1,
+          loss_balancing=50, progress=False)
+    wts = s.history[-1]["balanced_weights"]
+    # The mis-scaled equation forces constraint weights far from 1.0; if
+    # the warmup gate never fired, they would still be exactly 1.0.
+    assert min(wts[1:]) > 5.0, wts
+
+
 def test_balancing_validation():
     def ode(f, x):
         return D(f, x) - 1.0

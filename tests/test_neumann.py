@@ -42,3 +42,21 @@ def test_neumann_bc_via_constraint():
     # Neumann condition approximately satisfied
     g = solver.predict_grad(np.array([1.0]))
     assert abs(float(g[0, 0]) - 3.0) < 0.15
+
+
+def test_fwd_grad_accepts_numpy_int_and_multi_index():
+    # wrt may be a numpy integer (e.g. drawn from np.arange) or a
+    # multi-index tuple; u = x^3 has u'(1) = 3 and u''(1) = 6.
+    def ode(f, x):
+        return D(D(f, x), x) - 6 * x
+
+    def probe(f, x):
+        right = np.array([1.0], np.float32)
+        d1 = f.grad(right, wrt=np.int64(0))          # u'(1) -> 3
+        d2 = f.grad(right, wrt=(0, np.int32(0)))     # u''(1) -> 6
+        return (d1 - 3.0) + (d2 - 6.0)
+
+    solver = Solver(ode, ndims=1, seed=0, constraints=probe)
+    solver.fit(niters=5, batch_size=16,
+               loss_terms=["equation", "constraint_0"], progress=False)
+    assert np.isfinite(solver.losses).all()
