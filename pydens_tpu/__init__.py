@@ -23,6 +23,7 @@ from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
                        MixtureSampler, GeometrySampler, BoundarySampler)
 from .parallel import make_mesh
 from .utils.grids import cart_prod, uniform_grid
+from .utils.export import load_exported
 
 __version__ = "0.1.0"
 
@@ -34,7 +35,7 @@ __all__ = [
     "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
     "ScipySampler", "ProductSampler", "MixtureSampler", "GeometrySampler",
     "BoundarySampler",
-    "make_mesh",
+    "make_mesh", "load_exported",
     "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
     "cosh", "tanh", "exp", "expm1", "log", "log1p", "log2", "log10", "sqrt",
     "square", "power", "sign", "maximum", "minimum", "where", "clip",

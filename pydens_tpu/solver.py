@@ -1246,3 +1246,13 @@ class Solver:
         from .utils.checkpoint import load_solver
         load_solver(self, path)
         return self
+
+    def export(self, path=None):
+        """Serialize the trained solution field to a portable ahead-of-time
+        serving artifact (StableHLO via ``jax.export``): parameters baked
+        in, batch dimension shape-polymorphic, loadable by
+        :func:`pydens_tpu.load_exported` in a bare JAX process on any
+        backend.  Returns the artifact bytes (also written to ``path`` if
+        given)."""
+        from .utils.export import export_model
+        return export_model(self, path)

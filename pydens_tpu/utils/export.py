@@ -1,0 +1,93 @@
+"""Ahead-of-time model export — the serving/deployment artifact.
+
+A trained solution field serializes to a self-contained StableHLO artifact
+via ``jax.export``: network parameters are baked in as constants, the batch
+dimension is shape-polymorphic, and the artifact round-trips through a
+byte-string that loads in any JAX process on any backend — the serving side
+never needs pydens_tpu, the Python equation, or the training machinery.
+
+The reference has no persistence or serving story at all (SURVEY §5); for a
+TPU-production framework the AOT artifact with a stable serialization is the
+deployment unit (the same mechanism TF-Serving/IFRT consume).
+
+Scope: the exported function is the plain XLA inference path
+(network + ansatz + V-variables; ensembles export as the member-mean) —
+the opt-in Pallas fused kernels are deliberately NOT exported, as their
+custom-calls would tie the artifact to one backend generation.
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["export_model", "load_exported"]
+
+_MAGIC = b"PDTPUEXP1"
+
+
+def export_model(solver, path=None):
+    """Serialize the trained solution ``u_theta`` to a portable artifact.
+
+    Parameters
+    ----------
+    solver : Solver
+        A (trained) solver; current parameters are baked into the artifact.
+    path : str | None
+        If given, the artifact is written there; the bytes are returned
+        either way.
+
+    Returns
+    -------
+    bytes — ``load_exported``-compatible artifact (magic + StableHLO).
+    """
+    from jax import export as jax_export
+
+    model = solver.model
+    params = model.params
+    if params is None:
+        raise ValueError("solver has no parameters to export")
+
+    if model.ensemble_size > 1:
+        def apply_fn(xs):
+            member = jax.vmap(model._apply_with_variables, in_axes=(0, None))
+            return jnp.mean(member(params, xs), axis=0)
+    else:
+        def apply_fn(xs):
+            return model._apply_with_variables(params, xs)
+
+    (batch,) = jax_export.symbolic_shape("batch")
+    spec = jax.ShapeDtypeStruct((batch, model.total), model.dtype)
+    exported = jax_export.export(jax.jit(apply_fn))(spec)
+    blob = _MAGIC + exported.serialize()
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return blob
+
+
+def load_exported(path_or_bytes):
+    """Load an ``export_model`` artifact into a plain callable.
+
+    Accepts a path or the raw bytes; returns ``fn(xs) -> (N, n_out)`` where
+    ``xs`` is any ``(N, ndims + nparams)`` array (the batch dimension is
+    shape-polymorphic).  Works in a bare JAX process — pydens_tpu itself is
+    only needed for this loader, and ``jax.export.deserialize`` alone can
+    consume ``blob[len(b'PDTPUEXP1'):]`` without it.
+    """
+    from jax import export as jax_export
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fh:
+            blob = fh.read()
+    if not blob.startswith(_MAGIC):
+        raise ValueError("not a pydens_tpu export artifact")
+    exported = jax_export.deserialize(blob[len(_MAGIC):])
+
+    def fn(xs):
+        xs = jnp.asarray(xs)
+        if xs.ndim != 2:
+            raise ValueError(f"expected a (N, in_dim) batch, got {xs.shape}")
+        return exported.call(xs)
+
+    return fn

@@ -1,0 +1,83 @@
+"""AOT export/serving artifact (``Solver.export`` / ``load_exported``) —
+no reference counterpart (SURVEY §5: the reference has no persistence or
+serving story)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D
+
+
+def _trained_ode_solver():
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+    s = Solver(ode, ndims=1, initial_condition=0.5, seed=0,
+               layout="fafaf", features=[12, 10, 1], activation="Tanh")
+    s.fit(niters=300, batch_size=128, progress=False)
+    return s
+
+
+def test_export_roundtrip_matches_predict(tmp_path):
+    s = _trained_ode_solver()
+    path = tmp_path / "u.pdtx"
+    blob = s.export(path)
+    assert path.read_bytes() == blob
+
+    fn = pdt.load_exported(path)
+    # Batch dim is shape-polymorphic: exercise two different sizes.
+    for n in (7, 64):
+        xs = np.linspace(0, 1, n, dtype=np.float32).reshape(-1, 1)
+        np.testing.assert_allclose(np.asarray(fn(xs)), s.predict(xs),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_export_bakes_in_v_variables(tmp_path):
+    # The artifact must carry trained V variables, not their init values.
+    def ode(f, x):
+        return D(f, x) - pdt.V("slope", 0.0)
+
+    s = Solver(ode, ndims=1, initial_condition=0.0, seed=0,
+               constraints=lambda f, x: f(np.array([1.0])) - 3.0)
+    s.fit(niters=500, batch_size=64, lr=0.05,
+          loss_terms=["equation", "constraint_0"], progress=False)
+    fn = pdt.load_exported(s.export())
+    xs = np.linspace(0, 1, 11, dtype=np.float32).reshape(-1, 1)
+    np.testing.assert_allclose(np.asarray(fn(xs)), s.predict(xs),
+                               rtol=1e-6, atol=1e-6)
+    assert abs(float(fn(np.ones((1, 1), np.float32))[0, 0]) - 3.0) < 0.3
+
+
+def test_export_untrained_solver_requires_params():
+    s = _trained_ode_solver()
+    s.model.params = None
+    with pytest.raises(ValueError, match="no parameters"):
+        s.export()
+
+
+def test_artifact_loads_in_bare_jax_process(tmp_path):
+    # The serving side needs only jax: deserialize the raw StableHLO blob
+    # (after the magic) without importing pydens_tpu at all.
+    s = _trained_ode_solver()
+    path = tmp_path / "u.pdtx"
+    s.export(path)
+    expected = float(s.predict(np.array([0.25]))[0, 0])
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax import export
+blob = open({str(path)!r}, "rb").read()
+fn = export.deserialize(blob[len(b"PDTPUEXP1"):])
+out = fn.call(np.array([[0.25]], np.float32))
+assert abs(float(out[0, 0]) - {expected!r}) < 1e-5, out
+print("OK")
+"""
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    assert "OK" in proc.stdout
