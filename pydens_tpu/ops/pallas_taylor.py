@@ -24,6 +24,12 @@ batch tiles through the sequential TPU grid.
 Correctness: differential-tested against the XLA Taylor plan (values and
 parameter gradients) in tests/test_pallas_taylor.py (interpret mode on
 CPU, the real Mosaic lowering on TPU).
+
+Measured verdict (v5e, BENCHMARKS.md "Fused Pallas Taylor kernel"): the
+kernel is correct but 0.55-0.84x the best XLA path at 64k-1M batches —
+Mosaic codegen for tiny-K (<=64) matmul chains eats the bandwidth savings.
+It therefore stays opt-in (``PYDENS_TPU_FUSED_TAYLOR=always``); the XLA
+paths are the default.
 """
 
 from __future__ import annotations
@@ -35,7 +41,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["make_fused_taylor", "supports"]
 
-_TILE = 2048  # batch rows per grid program
+_TILE = 2048  # max batch rows per grid program
+_MAX_STACKED_ROWS = 8192  # tile * n_streams cap (see _tile_for)
+
+# The backward kernel recomputes and holds every layer's stream state in
+# VMEM (that is the point — HBM never sees them); at tile 1024 x 5 streams
+# x 4 layers that is ~21 MB of scoped stack, above the 16 MB default limit.
+# v5e has 128 MiB of VMEM per core; grant the kernel most of it.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _tile_for(n_streams):
+    """Batch-tile rows for a kernel with ``n_streams`` stacked streams.
+
+    Measured on the v5e tunnel (August 2026): kernels whose stacked
+    traversal matrix exceeds ~8192 rows (5 streams x 2048 rows) fail in
+    the remote TPU compile helper, while the same kernel at 5 x 1024
+    compiles and runs; synthetic kernels of the same nominal shapes pass,
+    so the trigger is overall program size, not one op.  Empirical rule:
+    largest power-of-two tile with ``n_streams * tile <= 8192``, capped
+    at ``_TILE``, floor 256."""
+    tile = _TILE
+    while tile > 256 and n_streams * tile > _MAX_STACKED_ROWS:
+        tile //= 2
+    return tile
 
 
 def supports(tokens, closure, periodic_dims=()):
@@ -89,6 +118,7 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
     if not supports(tokens, closure):
         raise ValueError("fused taylor kernel: unsupported layout/plan")
     n_streams = 1 + len(firsts) + len(pairs)
+    tile = _tile_for(n_streams)
     d_pos = {d: i for i, d in enumerate(firsts)}
     max_sigma = 2 if pairs else 1  # backward needs one more (see below)
 
@@ -96,25 +126,29 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
         """Trace the traversal; returns the final streams plus the saved
         per-layer states the adjoint needs.  ``streams`` is a list
         [V, T..., S...] of (tile, width) values."""
-        tile = x.shape[0]
+        rows = x.shape[0]
         V = x
         # One-hot tangent columns via iota-compare (Mosaic has no scatter).
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile, in_dim), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, in_dim), 1)
         T = [(col == d).astype(x.dtype) for d in firsts]
-        S = [jnp.zeros((tile, in_dim), x.dtype) for _ in pairs]
+        S = [jnp.zeros((rows, in_dim), x.dtype) for _ in pairs]
         saved = []  # one entry per token: ('f', in_streams) | ('a', pre_V_T)
         di, ai = 0, 0
         for tok in tokens:
             if tok in ("f", "c"):
-                stacked = jnp.concatenate([V] + T + S, axis=0)
-                saved.append(("f", stacked))
-                out = jnp.dot(stacked, ws[di],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                parts = jnp.split(out, n_streams, axis=0)
-                V = parts[0] + bs[di]
-                T = parts[1:1 + len(firsts)]
-                S = parts[1 + len(firsts):]
+                # Streams stay separate: inside the kernel there is no
+                # launch cost for a stacked matmul to amortize, and Mosaic's
+                # sublane-dim tpu.concatenate miscompiles/crashes on narrow
+                # (lanes < 8) vectors (measured on the v5e tunnel, 08/2026).
+                streams = [V] + T + S
+                saved.append(("f", streams))
+                outs = [jnp.dot(s, ws[di],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                        for s in streams]
+                V = outs[0] + bs[di]
+                T = outs[1:1 + len(firsts)]
+                S = outs[1 + len(firsts):]
                 di += 1
             else:  # 'a'
                 act = acts[ai]
@@ -164,20 +198,25 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
         for tok, save in zip(reversed(tokens), reversed(saved)):
             if tok in ("f", "c"):
                 di -= 1
-                _, stacked_in = save
-                g_stacked = jnp.concatenate([gV] + gT + gS, axis=0)
-                wgrads[di] = jnp.dot(
-                    stacked_in.T, g_stacked,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                _, in_streams = save
+                # Per-stream dots (see _forward_states on why no dim-0
+                # concat): the weight gradient sums over streams AND batch.
+                g_streams = [gV] + gT + gS
+                wg = None
+                for s_in, s_g in zip(in_streams, g_streams):
+                    term = jnp.dot(s_in.T, s_g,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    wg = term if wg is None else wg + term
+                wgrads[di] = wg
                 bgrads[di] = jnp.sum(gV, axis=0, keepdims=True)
-                back = jnp.dot(g_stacked, ws[di].T,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                parts = jnp.split(back, n_streams, axis=0)
-                gV = parts[0]
-                gT = parts[1:1 + len(firsts)]
-                gS = parts[1 + len(firsts):]
+                backs = [jnp.dot(s_g, ws[di].T,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                         for s_g in g_streams]
+                gV = backs[0]
+                gT = backs[1:1 + len(firsts)]
+                gS = backs[1 + len(firsts):]
             else:  # 'a'
                 ai -= 1
                 act = acts[ai]
@@ -219,10 +258,10 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
     def _pallas_fwd(flat_weights, x):
         n = x.shape[0]
         out_dim = flat_weights[-2].shape[1]
-        n_pad = -(-n // _TILE) * _TILE
+        n_pad = -(-n // tile) * tile
         xp = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
-        grid = (n_pad // _TILE,)
-        in_specs = [pl.BlockSpec((_TILE, in_dim), lambda i: (i, 0),
+        grid = (n_pad // tile,)
+        in_specs = [pl.BlockSpec((tile, in_dim), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
         for w in flat_weights:
             in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
@@ -233,27 +272,28 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
             out_shape=jax.ShapeDtypeStruct((n_pad, n_streams * out_dim),
                                            x.dtype),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((_TILE, n_streams * out_dim),
+            out_specs=pl.BlockSpec((tile, n_streams * out_dim),
                                    lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=None if interpret else _COMPILER_PARAMS,
             interpret=interpret,
         )(xp, *flat_weights)
         return out[:n]
 
     def _pallas_bwd(flat_weights, x, g):
         n = x.shape[0]
-        n_pad = -(-n // _TILE) * _TILE
+        n_pad = -(-n // tile) * tile
         if n_pad != n:
             x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
             # Padded rows contribute zero cotangent -> zero gradient.
             g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
-        grid = (n_pad // _TILE,)
-        in_specs = [pl.BlockSpec((_TILE, in_dim), lambda i: (i, 0),
+        grid = (n_pad // tile,)
+        in_specs = [pl.BlockSpec((tile, in_dim), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
         for w in flat_weights:
             in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((_TILE, g.shape[1]), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((tile, g.shape[1]), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         out_shapes = ([jax.ShapeDtypeStruct(w.shape, w.dtype)
                        for w in flat_weights[0::2]]
@@ -266,7 +306,7 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
                      + [pl.BlockSpec(b.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
                         for b in flat_weights[1::2]]
-                     + [pl.BlockSpec((_TILE, in_dim), lambda i: (i, 0),
+                     + [pl.BlockSpec((tile, in_dim), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)])
         outs = pl.pallas_call(
             bwd_kernel,
@@ -274,6 +314,7 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
             interpret=interpret,
         )(x, *flat_weights, g)
         n_dense = len(layer_names)
