@@ -52,6 +52,19 @@ def test_export_bakes_in_v_variables(tmp_path):
     assert abs(float(fn(np.ones((1, 1), np.float32))[0, 0]) - 3.0) < 0.3
 
 
+def test_export_ensemble_is_member_mean(tmp_path):
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+    s = Solver(ode, ndims=1, initial_condition=0.5, seed=0, n_models=3,
+               layout="fa f", features=[8, 1])
+    s.fit(niters=50, batch_size=64, progress=False)
+    fn = pdt.load_exported(s.export())
+    xs = np.linspace(0, 1, 9, dtype=np.float32).reshape(-1, 1)
+    np.testing.assert_allclose(np.asarray(fn(xs)), s.predict(xs),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_export_untrained_solver_requires_params():
     s = _trained_ode_solver()
     s.model.params = None
