@@ -574,9 +574,12 @@ class Solver:
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
                cfg["use_plan"], cfg["balance_every"],
                # The fused-Taylor decision happens at trace time inside the
-               # model; key it so toggling the env var between fits does not
-               # silently reuse the stale compiled path.
-               os.environ.get("PYDENS_TPU_FUSED_TAYLOR", "never"),
+               # model; key the EFFECTIVE toggle (reachable only on the plan
+               # path, and only the exact value 'always' turns it on —
+               # models/base.py:_fused_taylor_for) so equivalent-off spellings
+               # or toggles on non-plan fits don't force spurious recompiles.
+               cfg["use_plan"] and
+               os.environ.get("PYDENS_TPU_FUSED_TAYLOR") == "always",
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]

@@ -42,9 +42,12 @@ def export_model(solver, path=None):
     from jax import export as jax_export
 
     model = solver.model
-    params = model.params
-    if params is None:
+    if model.params is None:
         raise ValueError("solver has no parameters to export")
+    # Pull parameters to host numpy: a mesh-trained solver's params carry
+    # multi-device shardings, and baking those into the closure would pin
+    # the artifact to the training topology (nr_devices = mesh size).
+    params = jax.device_get(model.params)
 
     if model.ensemble_size > 1:
         def apply_fn(xs):
@@ -56,7 +59,10 @@ def export_model(solver, path=None):
 
     (batch,) = jax_export.symbolic_shape("batch")
     spec = jax.ShapeDtypeStruct((batch, model.total), model.dtype)
-    exported = jax_export.export(jax.jit(apply_fn))(spec)
+    # Lower for every mainstream backend so the serving process need not
+    # match the training one (train on TPU, serve on CPU and vice versa).
+    exported = jax_export.export(
+        jax.jit(apply_fn), platforms=("cpu", "tpu", "cuda"))(spec)
     blob = _MAGIC + exported.serialize()
     if path is not None:
         with open(path, "wb") as fh:

@@ -65,6 +65,35 @@ def test_export_ensemble_is_member_mean(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_export_mesh_trained_solver_is_topology_free(tmp_path):
+    # A solver trained over a device mesh must export a single-device
+    # artifact (params pulled to host, shardings dropped) — regression test
+    # for the nr_devices=mesh-size lock-in.
+    from pydens_tpu import make_mesh
+
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+    s = Solver(ode, ndims=1, initial_condition=0.5, seed=0,
+               mesh=make_mesh(), layout="fa f", features=[8, 1])
+    s.fit(niters=50, batch_size=64, progress=False)
+    blob = s.export()
+    from jax import export as jax_export
+    exported = jax_export.deserialize(blob[len(b"PDTPUEXP1"):])
+    assert exported.nr_devices == 1
+    fn = pdt.load_exported(blob)
+    xs = np.linspace(0, 1, 9, dtype=np.float32).reshape(-1, 1)
+    np.testing.assert_allclose(np.asarray(fn(xs)), s.predict(xs),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_export_lowered_for_all_mainstream_platforms():
+    s = _trained_ode_solver()
+    from jax import export as jax_export
+    exported = jax_export.deserialize(s.export()[len(b"PDTPUEXP1"):])
+    assert set(exported.platforms) >= {"cpu", "tpu"}
+
+
 def test_export_untrained_solver_requires_params():
     s = _trained_ode_solver()
     s.model.params = None
