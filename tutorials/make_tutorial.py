@@ -191,6 +191,40 @@ print('loss so far:', beam_solver.losses[-1])
 # (examples/12_biharmonic_beam.py trains this to 1e-4 max error vs the
 #  analytic 16 x^2 (1-x)^2 with an L-BFGS finishing phase.)
 """),
+    md("""## 8. Automatic loss balancing
+
+Multi-term losses often have mis-matched scales — a raw-magnitude
+equation residual can be orders of magnitude larger than its constraint
+terms and simply drown them.  `fit(loss_balancing=...)` measures gradient
+norms during a warmup window and rescales the term weights automatically
+(Wang et al.'s grad-norm rule, clipped and warmup-limited — see
+BENCHMARKS.md for why balancing *forever* is destructive):"""),
+    code("""
+def beam_raw(f, x):            # deliberately mis-scaled: residual ~ 384
+    return D(D(D(D(f, x), x), x), x) - 384.0
+
+raw = Solver(beam_raw, ndims=1, boundary_condition=0, activation='Tanh',
+             layout='fa fa f', features=[24, 24, 1],
+             constraints=(lambda f, x: f.grad(left, wrt=0),
+                          lambda f, x: f.grad(right, wrt=0)))
+raw.fit(niters=600, batch_size=256, lr=0.01,
+        loss_terms=['equation', 'constraint_0', 'constraint_1'],
+        loss_balancing=50)
+print('learned term weights:', np.round(raw.history[-1]['balanced_weights'], 1))
+"""),
+    md("""## 9. Serving: export the trained field
+
+A trained solution exports to a self-contained StableHLO artifact
+(`jax.export`): parameters baked in, batch dimension shape-polymorphic,
+lowered for CPU/TPU/GPU alike — the serving process needs only JAX, not
+pydens_tpu or the Python equation:"""),
+    code("""
+blob = solver.export()                 # or solver.export('u.pdtx')
+fn = pdt.load_exported(blob)
+print('serve vs predict max diff:',
+      np.abs(np.asarray(fn(xs.reshape(-1, 1).astype(np.float32)))
+             - solver.predict(xs)).max())
+"""),
     md("""## Scaling out
 
 On multi-chip hardware, pass a mesh and the collocation batch shards over
