@@ -815,7 +815,8 @@ class Solver:
             optimizer="Adam", criterion="MSELoss", lr=0.005, losses=None,
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
             adaptive=None, fast_taps="auto", callback=None,
-            loss_balancing=None, **kwargs):
+            loss_balancing=None, checkpoint_path=None, checkpoint_every=None,
+            **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -863,6 +864,16 @@ class Solver:
         constraints whose gradients vanish (measured in BENCHMARKS.md).
         The starting weights are the ``loss_terms`` values; the learned
         weights land in ``history[-1]['balanced_weights']``.
+
+        ``checkpoint_path=`` enables auto-checkpointing for long runs:
+        the full training state (params, optimizer state, losses, step
+        counter) is atomically snapshotted to that path at chunk
+        boundaries, every ``checkpoint_every`` iterations (default: every
+        chunk).  After a crash, a fresh solver with the same config
+        ``load``s the file and continues from the last snapshot (the RNG
+        stream restarts from the fit's key, so the continuation is a
+        valid—but not bit-identical—completion of the interrupted fit;
+        an end-of-fit ``save`` remains bit-exact for resume).
         """
         fit_t0 = time.perf_counter()
         if int(niters) <= 0:
@@ -1064,6 +1075,8 @@ class Solver:
             carry = (theta, self._opt_state)
         all_losses = []
         iters_run = 0
+        ckpt_every = int(checkpoint_every or chunk)
+        ckpt_marks = 0
         try:
             with profile_ctx:
                 for start in iterator:
@@ -1072,6 +1085,19 @@ class Solver:
                     # the device call and are dead.
                     carry, chunk_losses, n = run_one_chunk(carry, start)
                     iters_run = min(niters, start + chunk)
+                    if checkpoint_path is not None and (
+                            iters_run >= niters
+                            or iters_run // ckpt_every > ckpt_marks):
+                        ckpt_marks = iters_run // ckpt_every
+                        from .utils.checkpoint import save_solver
+                        save_solver(
+                            self, checkpoint_path,
+                            params=self._unflatten_jit(carry[0]),
+                            opt_state=carry[1],
+                            losses=self.losses + np.concatenate(
+                                [np.asarray(l)[:m]
+                                 for l, m in all_losses]).tolist(),
+                            step_counter=self._step_counter + iters_run)
                     stop = False
                     if callback is not None:
                         # Observability / early-stopping hook: called once

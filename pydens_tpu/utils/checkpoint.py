@@ -24,12 +24,20 @@ _MAGIC = b"PDTPU002"
 _MAGIC_V1 = b"PDTPU001"
 
 
-def save_solver(solver, path):
+def save_solver(solver, path, *, params=None, opt_state=None, losses=None,
+                step_counter=None):
+    """Serialize the solver's training state.  The keyword overrides let
+    ``fit`` snapshot mid-fit state (live carry buffers) without mutating
+    the solver — used by ``fit(checkpoint_path=...)`` auto-checkpointing."""
+    params = solver.model.params if params is None else params
+    losses = solver.losses if losses is None else losses
+    step_counter = (solver._step_counter if step_counter is None
+                    else step_counter)
     state = {
         "params": serialization.to_state_dict(
-            jax.tree.map(np.asarray, solver.model.params)),
-        "losses": np.asarray(solver.losses, np.float32),
-        "step_counter": np.int64(solver._step_counter),
+            jax.tree.map(np.asarray, params)),
+        "losses": np.asarray(losses, np.float32),
+        "step_counter": np.int64(step_counter),
         # Typed PRNG keys don't serialize directly; store the raw key data.
         "rng_key_data": np.asarray(jax.random.key_data(solver._key)),
         # Non-array training context, json-encoded: fit history records,
@@ -41,13 +49,19 @@ def save_solver(solver, path):
             "frozen_variables": sorted(solver.model._frozen_variables),
         }),
     }
-    if solver._opt_state is not None:
+    opt_state = solver._opt_state if opt_state is None else opt_state
+    if opt_state is not None:
         state["opt_state"] = serialization.to_state_dict(
-            jax.tree.map(np.asarray, solver._opt_state))
+            jax.tree.map(np.asarray, opt_state))
     payload = serialization.msgpack_serialize(state)
-    with open(path, "wb") as fh:
+    # Write-then-rename: a crash mid-write must not clobber the previous
+    # good checkpoint (the whole point of auto-checkpointing).
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
         fh.write(_MAGIC)
         fh.write(payload)
+    import os
+    os.replace(tmp, path)
 
 
 def load_solver(solver, path):

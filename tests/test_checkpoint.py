@@ -70,3 +70,44 @@ def test_bad_file_rejected(tmp_path):
     s = Solver(_ode, ndims=1, seed=0)
     with pytest.raises(ValueError, match="not a pydens_tpu checkpoint"):
         s.load(str(path))
+
+
+def test_auto_checkpoint_survives_midfit_crash(tmp_path):
+    path = str(tmp_path / "auto.msgpack")
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+
+    def crash(iteration, losses):
+        if iteration >= 300:
+            raise RuntimeError("simulated crash")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        s1.fit(niters=600, batch_size=128, chunk_size=100,
+               checkpoint_path=path, callback=crash, progress=False)
+
+    # A fresh process's solver resumes from the last chunk-boundary
+    # snapshot: params + opt state + losses + step counter all present.
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, seed=9)
+    s2.load(path)
+    assert len(s2.losses) == 300
+    np.testing.assert_allclose(
+        s2.predict(np.linspace(0, 1, 7)),
+        s1.predict(np.linspace(0, 1, 7)), rtol=1e-6)
+    # Same optimizer spec as the interrupted fit; the loaded Adam moments
+    # graft onto the fresh optimizer state (checkpoint.py).
+    s2.fit(niters=300, batch_size=128, progress=False)
+    assert len(s2.losses) == 600
+    assert s2.losses[-1] < 0.05 and s2.losses[-1] < s2.losses[0]
+
+
+def test_auto_checkpoint_every_and_final(tmp_path):
+    path = str(tmp_path / "auto.msgpack")
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    s1.fit(niters=250, batch_size=64, chunk_size=50, checkpoint_every=100,
+           checkpoint_path=path, progress=False)
+    # The final snapshot is written at fit end regardless of the interval.
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, seed=3)
+    s2.load(path)
+    assert len(s2.losses) == 250
+    np.testing.assert_allclose(
+        s2.predict(np.linspace(0, 1, 7)),
+        s1.predict(np.linspace(0, 1, 7)), rtol=1e-6)
