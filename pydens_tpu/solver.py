@@ -1276,12 +1276,13 @@ class Solver:
         load_solver(self, path)
         return self
 
-    def export(self, path=None):
+    def export(self, path=None, with_grad=False):
         """Serialize the trained solution field to a portable ahead-of-time
         serving artifact (StableHLO via ``jax.export``): parameters baked
         in, batch dimension shape-polymorphic, loadable by
         :func:`pydens_tpu.load_exported` in a bare JAX process on any
-        backend.  Returns the artifact bytes (also written to ``path`` if
-        given)."""
+        backend.  ``with_grad=True`` makes the artifact return
+        ``(u, du)`` with the ``predict_grad`` derivative fields.  Returns
+        the artifact bytes (also written to ``path`` if given)."""
         from .utils.export import export_model
-        return export_model(self, path)
+        return export_model(self, path, with_grad=with_grad)

@@ -24,7 +24,7 @@ __all__ = ["export_model", "load_exported"]
 _MAGIC = b"PDTPUEXP1"
 
 
-def export_model(solver, path=None):
+def export_model(solver, path=None, with_grad=False):
     """Serialize the trained solution ``u_theta`` to a portable artifact.
 
     Parameters
@@ -34,6 +34,10 @@ def export_model(solver, path=None):
     path : str | None
         If given, the artifact is written there; the bytes are returned
         either way.
+    with_grad : bool
+        If true, the artifact returns ``(u, du)`` with ``du`` of shape
+        ``(N, total, n_out)`` — derivative fields (fluxes, velocities)
+        served without the framework, matching ``Solver.predict_grad``.
 
     Returns
     -------
@@ -50,12 +54,27 @@ def export_model(solver, path=None):
     params = jax.device_get(model.params)
 
     if model.ensemble_size > 1:
-        def apply_fn(xs):
+        def value_fn(xs):
             member = jax.vmap(model._apply_with_variables, in_axes=(0, None))
             return jnp.mean(member(params, xs), axis=0)
     else:
-        def apply_fn(xs):
+        def value_fn(xs):
             return model._apply_with_variables(params, xs)
+
+    if with_grad:
+        def apply_fn(xs):
+            # Batch-diagonal jvp per input column (same tap construction as
+            # the D token): tangent e_a broadcast over the batch.
+            total = xs.shape[1]
+            u = value_fn(xs)
+            cols = []
+            for a in range(total):
+                basis = jnp.zeros((total,), xs.dtype).at[a].set(1.0)
+                cols.append(jax.jvp(value_fn, (xs,),
+                                    (jnp.broadcast_to(basis, xs.shape),))[1])
+            return u, jnp.stack(cols, axis=1)
+    else:
+        apply_fn = value_fn
 
     (batch,) = jax_export.symbolic_shape("batch")
     spec = jax.ShapeDtypeStruct((batch, model.total), model.dtype)

@@ -123,3 +123,14 @@ print("OK")
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr
     assert "OK" in proc.stdout
+
+
+def test_export_with_grad_matches_predict_grad(tmp_path):
+    s = _trained_ode_solver()
+    fn = pdt.load_exported(s.export(with_grad=True))
+    xs = np.linspace(0, 1, 11, dtype=np.float32).reshape(-1, 1)
+    u, du = fn(xs)
+    np.testing.assert_allclose(np.asarray(u), s.predict(xs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(du)[:, :, 0], s.predict_grad(xs), rtol=1e-5, atol=1e-5)
