@@ -20,7 +20,8 @@ from .models import Model, ConvBlockModel, TorchModel, FlaxModel, flax_model
 from .solver import Solver
 from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
                        HistoSampler, ScipySampler, ProductSampler,
-                       MixtureSampler, GeometrySampler, BoundarySampler)
+                       MixtureSampler, GeometrySampler, BoundarySampler,
+                       HaltonSampler)
 from .parallel import make_mesh
 from .utils.grids import cart_prod, uniform_grid
 from .utils.export import load_exported
@@ -34,7 +35,7 @@ __all__ = [
     "Model", "ConvBlockModel", "TorchModel", "FlaxModel", "flax_model",
     "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
     "ScipySampler", "ProductSampler", "MixtureSampler", "GeometrySampler",
-    "BoundarySampler",
+    "BoundarySampler", "HaltonSampler",
     "make_mesh", "load_exported",
     "sin", "cos", "tan", "arcsin", "arccos", "arctan", "arctan2", "sinh",
     "cosh", "tanh", "exp", "expm1", "log", "log1p", "log2", "log10", "sqrt",

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 __all__ = ["Sampler", "NumpySampler", "ConstantSampler", "HistoSampler",
            "ScipySampler", "ProductSampler", "MixtureSampler", "NS",
-           "GeometrySampler", "BoundarySampler"]
+           "GeometrySampler", "BoundarySampler", "HaltonSampler"]
 
 
 class Sampler:
@@ -319,6 +319,82 @@ class HistoSampler(Sampler):
         lo = jnp.asarray(self._lo, jnp.float32)[flat]
         hi = jnp.asarray(self._hi, jnp.float32)[flat]
         return lo + u * (hi - lo)
+
+
+_HALTON_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47,
+                  53, 59, 61, 67, 71)
+
+
+class HaltonSampler(Sampler):
+    """Low-discrepancy (quasi-Monte-Carlo) collocation sampler — the Halton
+    sequence with a per-draw random Cranley–Patterson rotation.
+
+    QMC collocation covers the domain far more evenly than i.i.d. uniform
+    draws (no clusters/gaps), a standard variance-reduction practice for
+    PINN training; the random rotation keeps draws unbiased and gives every
+    chunk fresh points.  No reference/batchflow counterpart.
+
+    The radical-inverse computation is a fixed-digit integer recurrence —
+    branch-free, shape-static, jit/TPU-friendly — so the device path runs
+    INSIDE the compiled training loop like every other device sampler.
+
+    Parameters
+    ----------
+    dim : int
+        Number of columns (consecutive prime bases; dim <= 20).
+    low, high : float or per-dim sequences
+        Domain box to scale into (default unit box).
+    seed : int, optional
+        Host-path RNG seed for the rotation.
+    """
+
+    def __init__(self, dim=1, low=0.0, high=1.0, seed=None):
+        self.ndims = int(dim)
+        if self.ndims > len(_HALTON_PRIMES):
+            raise ValueError(
+                f"HaltonSampler supports up to {len(_HALTON_PRIMES)} dims")
+        self.low = np.broadcast_to(
+            np.asarray(low, np.float32), (self.ndims,)).copy()
+        self.high = np.broadcast_to(
+            np.asarray(high, np.float32), (self.ndims,)).copy()
+        self._bases = _HALTON_PRIMES[:self.ndims]
+        # Static digit counts: base ** digits covers every int32 index.
+        self._digits = [int(np.ceil(31 / np.log2(b))) for b in self._bases]
+        self._rng = np.random.default_rng(seed)
+        self._counter = 0
+
+    def _radical_inverse(self, n, d):
+        """Vectorized radical inverse of integer vector ``n`` in the d-th
+        prime base (works for both numpy and jnp inputs)."""
+        base = self._bases[d]
+        inv = n * 0.0
+        f = 1.0 / base
+        for _ in range(self._digits[d]):
+            inv = inv + (n % base).astype(np.float32) * np.float32(f)
+            n = n // base
+            f /= base
+        return inv
+
+    def _scaled(self, idx, shift):
+        cols = [(self._radical_inverse(idx, d) + shift[d]) % 1.0
+                for d in range(self.ndims)]
+        if isinstance(shift, np.ndarray):
+            u = np.stack(cols, axis=-1)
+        else:
+            u = jnp.stack(cols, axis=-1)
+        return self.low + u * (self.high - self.low)
+
+    def sample(self, size):
+        idx = np.arange(self._counter, self._counter + size, dtype=np.int64)
+        self._counter += size
+        shift = self._rng.uniform(size=self.ndims).astype(np.float32)
+        return self._scaled(idx, shift)
+
+    def sample_device(self, key, size):
+        k_shift = jax.random.fold_in(key, 1)
+        shift = jax.random.uniform(k_shift, (self.ndims,))
+        idx = jnp.arange(size, dtype=jnp.int32)
+        return self._scaled(idx, shift)
 
 
 class GeometrySampler(Sampler):
