@@ -338,6 +338,15 @@ class HaltonSampler(Sampler):
     branch-free, shape-static, jit/TPU-friendly — so the device path runs
     INSIDE the compiled training loop like every other device sampler.
 
+    Multi-dim domains should use ONE sampler with ``dim=n`` (and per-dim
+    ``low``/``high`` sequences): each column then gets its own prime base,
+    which is what makes the joint sequence low-discrepancy.  Composing two
+    HaltonSamplers with ``&`` would otherwise silently reuse base 2 for
+    both columns — an identical van-der-Corput sequence up to a constant
+    rotation, i.e. every point on one wrapped diagonal line;
+    :class:`ProductSampler` detects this and raises.  For deliberate
+    composition pass disjoint ``base_index`` offsets.
+
     Parameters
     ----------
     dim : int
@@ -346,18 +355,25 @@ class HaltonSampler(Sampler):
         Domain box to scale into (default unit box).
     seed : int, optional
         Host-path RNG seed for the rotation.
+    base_index : int
+        Offset into the prime-base list (columns use primes
+        ``base_index .. base_index + dim - 1``) — for composing several
+        HaltonSamplers with ``&`` without base collisions.
     """
 
-    def __init__(self, dim=1, low=0.0, high=1.0, seed=None):
+    def __init__(self, dim=1, low=0.0, high=1.0, seed=None, base_index=0):
         self.ndims = int(dim)
-        if self.ndims > len(_HALTON_PRIMES):
+        self.base_index = int(base_index)
+        if self.base_index + self.ndims > len(_HALTON_PRIMES):
             raise ValueError(
-                f"HaltonSampler supports up to {len(_HALTON_PRIMES)} dims")
+                f"HaltonSampler supports up to {len(_HALTON_PRIMES)} prime "
+                f"bases; got dim={dim} at base_index={base_index}")
         self.low = np.broadcast_to(
             np.asarray(low, np.float32), (self.ndims,)).copy()
         self.high = np.broadcast_to(
             np.asarray(high, np.float32), (self.ndims,)).copy()
-        self._bases = _HALTON_PRIMES[:self.ndims]
+        self._bases = _HALTON_PRIMES[self.base_index:
+                                     self.base_index + self.ndims]
         # Static digit counts: base ** digits covers every int32 index.
         self._digits = [int(np.ceil(31 / np.log2(b))) for b in self._bases]
         self._rng = np.random.default_rng(seed)
@@ -534,6 +550,23 @@ class ProductSampler(Sampler):
                 flat.append(s)
         self.samplers = flat
         self.ndims = sum(s.ndims for s in flat)
+        # Two Halton children sharing a prime base would yield perfectly
+        # correlated columns (same van-der-Corput sequence up to a constant
+        # rotation — all points on one wrapped diagonal): a silently
+        # degenerate collocation set.  Fail fast instead.
+        used = {}
+        for s in flat:
+            if isinstance(s, HaltonSampler):
+                for b in s._bases:
+                    if b in used:
+                        raise ValueError(
+                            f"HaltonSampler base collision in '&' product "
+                            f"(prime base {b} used twice): columns would be "
+                            "perfectly correlated. Use ONE HaltonSampler("
+                            "dim=n, low=[...], high=[...]) for the joint "
+                            "box, or give each component a disjoint "
+                            "base_index.")
+                    used[b] = s
 
     def sample(self, size):
         return np.hstack([s.sample(size) for s in self.samplers])

@@ -177,6 +177,7 @@ class Solver:
         self.losses = []
         self.history = []  # one record per fit call (observability superset
         #                    of the reference's bare `losses` list, SURVEY §5)
+        self.last_balanced_weights = None  # set by load() from snapshots
         self.mesh = mesh
 
         # Build the model (all kwargs forwarded, as in model_torch.py:312-313).
@@ -1058,7 +1059,6 @@ class Solver:
             carry, chunk_losses = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(self._step_counter), np.int32(n), host_pts)
-            all_losses.append((chunk_losses, n))
             return carry, chunk_losses, n
 
         if balance_every:
@@ -1073,10 +1073,37 @@ class Solver:
                      jnp.asarray(init_wts, self.model.dtype))
         else:
             carry = (theta, self._opt_state)
-        all_losses = []
+        # This fit's per-iteration losses: chunk loss buffers stay on device
+        # (reading them synchronizes) and drain to host floats incrementally
+        # — O(total) over the fit — only when something needs them
+        # (checkpoint snapshot, fit end).
+        fit_losses_list = []
+        pending_losses = []
         iters_run = 0
         ckpt_every = int(checkpoint_every or chunk)
-        ckpt_marks = 0
+        ckpt_iters_saved = -1
+
+        def drain_losses():
+            for l, m in pending_losses:
+                fit_losses_list.extend(np.asarray(l)[:m].tolist())
+            pending_losses.clear()
+            return fit_losses_list
+
+        def save_checkpoint(carry):
+            """Snapshot the live carry (params, opt state, losses so far,
+            learned balancing weights) without mutating the solver."""
+            nonlocal ckpt_iters_saved
+            ckpt_iters_saved = iters_run
+            from .utils.checkpoint import save_solver
+            save_solver(
+                self, checkpoint_path,
+                params=self._unflatten_jit(carry[0]),
+                opt_state=carry[1],
+                losses=self.losses + drain_losses(),
+                step_counter=self._step_counter + iters_run,
+                balanced_weights=(np.asarray(carry[2]).tolist()
+                                  if balance_every else None))
+
         try:
             with profile_ctx:
                 for start in iterator:
@@ -1085,19 +1112,12 @@ class Solver:
                     # the device call and are dead.
                     carry, chunk_losses, n = run_one_chunk(carry, start)
                     iters_run = min(niters, start + chunk)
+                    pending_losses.append((chunk_losses, n))
                     if checkpoint_path is not None and (
-                            iters_run >= niters
-                            or iters_run // ckpt_every > ckpt_marks):
-                        ckpt_marks = iters_run // ckpt_every
-                        from .utils.checkpoint import save_solver
-                        save_solver(
-                            self, checkpoint_path,
-                            params=self._unflatten_jit(carry[0]),
-                            opt_state=carry[1],
-                            losses=self.losses + np.concatenate(
-                                [np.asarray(l)[:m]
-                                 for l, m in all_losses]).tolist(),
-                            step_counter=self._step_counter + iters_run)
+                            iters_run // ckpt_every
+                            > (0 if ckpt_iters_saved < 0
+                               else ckpt_iters_saved // ckpt_every)):
+                        save_checkpoint(carry)
                     stop = False
                     if callback is not None:
                         # Observability / early-stopping hook: called once
@@ -1110,6 +1130,11 @@ class Solver:
                             np.asarray(chunk_losses)[:n]))
                     if stop:
                         break
+            # Final snapshot at fit end (normal completion OR a clean
+            # callback stop), regardless of the interval; crashes between
+            # interval marks are covered by the interval saves above.
+            if checkpoint_path is not None and ckpt_iters_saved < iters_run:
+                save_checkpoint(carry)
         finally:
             # Commit whatever completed — a raising callback (or any other
             # mid-fit error at a chunk boundary) must not discard the
@@ -1122,12 +1147,9 @@ class Solver:
             else:
                 theta, self._opt_state = carry
             self.model.params = self._unflatten_jit(theta)
-            if all_losses:
-                self.losses.extend(np.concatenate(
-                    [np.asarray(l)[:n] for l, n in all_losses]).tolist())
+            self.losses.extend(drain_losses())
 
-        fit_losses = np.concatenate(
-            [np.asarray(l)[:n] for l, n in all_losses])
+        fit_losses = np.asarray(fit_losses_list, np.float32)
         self.history.append({
             "niters": iters_run, "batch_size": int(batch_size),
             "optimizer": (optimizer if isinstance(optimizer, str)

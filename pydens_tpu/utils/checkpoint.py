@@ -25,10 +25,13 @@ _MAGIC_V1 = b"PDTPU001"
 
 
 def save_solver(solver, path, *, params=None, opt_state=None, losses=None,
-                step_counter=None):
+                step_counter=None, balanced_weights=None):
     """Serialize the solver's training state.  The keyword overrides let
     ``fit`` snapshot mid-fit state (live carry buffers) without mutating
-    the solver — used by ``fit(checkpoint_path=...)`` auto-checkpointing."""
+    the solver — used by ``fit(checkpoint_path=...)`` auto-checkpointing.
+    ``balanced_weights`` (a list, when loss balancing is active) is stored
+    so a resumed fit can reuse the learned term weights via
+    ``loss_terms=dict(zip(names, solver.last_balanced_weights))``."""
     params = solver.model.params if params is None else params
     losses = solver.losses if losses is None else losses
     step_counter = (solver._step_counter if step_counter is None
@@ -47,6 +50,7 @@ def save_solver(solver, path, *, params=None, opt_state=None, losses=None,
             "cond_modes": solver.model._cond_modes,
             "frozen_layers": sorted(solver.model._frozen_layers),
             "frozen_variables": sorted(solver.model._frozen_variables),
+            "balanced_weights": balanced_weights,
         }),
     }
     opt_state = solver._opt_state if opt_state is None else opt_state
@@ -95,6 +99,10 @@ def load_solver(solver, path):
         solver.model._cond_modes = dict(meta["cond_modes"])
         solver.model._frozen_layers = set(meta["frozen_layers"])
         solver.model._frozen_variables = set(meta["frozen_variables"])
+        # Learned loss-balancing weights from a mid-fit snapshot (term
+        # order: equation first, then constraints): feed them back as
+        # fit(loss_terms={...}) on resume to keep the balanced scaling.
+        solver.last_balanced_weights = meta.get("balanced_weights")
     if "opt_state" in state:
         # Stash the raw state dict; Solver.fit grafts it onto the optimizer
         # state of the NEXT fit (freshly prep'd or reused), so Adam moments

@@ -92,8 +92,10 @@ def export_model(solver, path=None, with_grad=False):
 def load_exported(path_or_bytes):
     """Load an ``export_model`` artifact into a plain callable.
 
-    Accepts a path or the raw bytes; returns ``fn(xs) -> (N, n_out)`` where
-    ``xs`` is any ``(N, ndims + nparams)`` array (the batch dimension is
+    Accepts a path or the raw bytes; returns ``fn(xs) -> (N, n_out)`` —
+    or ``fn(xs) -> (u, du)`` with ``du`` of shape ``(N, total, n_out)``
+    for artifacts exported with ``with_grad=True`` — where ``xs`` is any
+    ``(N, ndims + nparams)`` array (the batch dimension is
     shape-polymorphic).  Works in a bare JAX process — pydens_tpu itself is
     only needed for this loader, and ``jax.export.deserialize`` alone can
     consume ``blob[len(b'PDTPUEXP1'):]`` without it.

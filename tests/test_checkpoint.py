@@ -111,3 +111,43 @@ def test_auto_checkpoint_every_and_final(tmp_path):
     np.testing.assert_allclose(
         s2.predict(np.linspace(0, 1, 7)),
         s1.predict(np.linspace(0, 1, 7)), rtol=1e-6)
+
+
+def test_auto_checkpoint_written_on_early_callback_stop(tmp_path):
+    # Early stop with checkpoint_every >> chunk: the final snapshot must
+    # still land (regression: no interval mark ever fired).
+    path = str(tmp_path / "early.msgpack")
+    s1 = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    s1.fit(niters=10000, batch_size=64, chunk_size=100,
+           checkpoint_every=5000, checkpoint_path=path,
+           callback=lambda it, losses: it >= 300, progress=False)
+    s2 = Solver(_ode, ndims=1, initial_condition=.5, seed=4)
+    s2.load(path)
+    assert len(s2.losses) == 300
+    np.testing.assert_allclose(
+        s2.predict(np.linspace(0, 1, 5)),
+        s1.predict(np.linspace(0, 1, 5)), rtol=1e-6)
+
+
+def test_auto_checkpoint_preserves_balancing_weights(tmp_path):
+    # Mid-fit snapshots carry the learned loss-balancing weights so a
+    # resumed fit can reuse them via loss_terms.
+    path = str(tmp_path / "bal.msgpack")
+
+    def beam(f, x):
+        return D(D(D(D(f, x), x), x), x) - 384.0
+
+    left = np.array([0.0], np.float32)
+    s1 = Solver(beam, ndims=1, boundary_condition=0, seed=0,
+                activation="Tanh", layout="fa fa f", features=[16, 16, 1],
+                constraints=lambda f, x: f.grad(left, wrt=0))
+    s1.fit(niters=300, batch_size=128, lr=0.01,
+           loss_terms=["equation", "constraint_0"], loss_balancing=50,
+           checkpoint_path=path, progress=False)
+    s2 = Solver(beam, ndims=1, boundary_condition=0, seed=1,
+                activation="Tanh", layout="fa fa f", features=[16, 16, 1],
+                constraints=lambda f, x: f.grad(left, wrt=0))
+    s2.load(path)
+    wts = s2.last_balanced_weights
+    assert wts is not None and len(wts) == 2
+    assert wts[1] > 1.5  # the mis-scaled beam pushes constraint weight up

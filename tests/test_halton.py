@@ -30,14 +30,34 @@ def test_rotation_randomizes_but_preserves_coverage():
     assert np.max(np.diff(np.sort(b))) < 8.0 / 256
 
 
+def test_product_base_collision_raises():
+    # Two dim=1 Haltons would both ride prime base 2: identical sequences
+    # up to a constant rotation — every point on one wrapped diagonal.
+    # The product must fail fast instead of silently degenerating.
+    import pytest
+    with pytest.raises(ValueError, match="base collision"):
+        HaltonSampler(dim=1) & HaltonSampler(dim=1, low=0, high=0.5)
+
+
 def test_domain_scaling_and_product_composition():
+    # Correct composition: disjoint base_index per component (or ONE
+    # sampler with dim=n and per-dim bounds).
     s = HaltonSampler(dim=1, low=-5, high=5, seed=0) & HaltonSampler(
-        dim=1, low=0, high=0.5, seed=1)
+        dim=1, low=0, high=0.5, seed=1, base_index=1)
     pts = s.sample(100)
     assert pts.shape == (100, 2)
     assert -5 <= pts[:, 0].min() and pts[:, 0].max() <= 5
     assert 0 <= pts[:, 1].min() and pts[:, 1].max() <= 0.5
     assert s.supports_device
+    # The columns are genuinely 2-D (not a wrapped diagonal): normalized
+    # column ranks must not be a constant shift of each other.
+    u = (pts - pts.min(0)) / (pts.max(0) - pts.min(0))
+    frac = (u[:, 0] - u[:, 1]) % 1.0
+    assert frac.std() > 0.05
+
+    joint = HaltonSampler(dim=2, low=[-5, 0], high=[5, 0.5], seed=0)
+    pts2 = joint.sample(100)
+    assert pts2[:, 1].max() <= 0.5 and pts2[:, 0].min() >= -5
 
 
 def test_training_with_halton_collocation_converges():
