@@ -26,7 +26,7 @@ from .parallel import make_mesh
 from .utils.grids import cart_prod, uniform_grid
 from .utils.export import load_exported
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Solver", "D", "V", "Expr", "lift",
