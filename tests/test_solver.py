@@ -123,7 +123,7 @@ def test_v_token_in_initial_condition():
     # at x=0.5  =>  init -> 0 (since sin term vanishes at 0.5... shifts).
     solver.fit(niters=300, batch_size=300, lr=0.05,
                loss_terms=["equation", "constraint_0"], progress=False)
-    init_val = float(np.asarray(solver.params["variables"]["init"]))
+    init_val = float(np.asarray(solver.params["variables"]["init"]).ravel()[0])
     assert abs(init_val - 3.0) > 0.05  # actually moved
 
 
