@@ -785,10 +785,22 @@ class Solver:
                 if needs_value_fn:
                     # Linesearch optimizers (L-BFGS) re-evaluate the loss at
                     # trial points along the search direction.
-                    updates, opt_state = opt.update(
-                        grad, opt_state, theta, value=loss, grad=grad,
-                        value_fn=lambda th: flat_loss(th, leaves,
-                                                      point_weight))
+                    if n_models > 1:
+                        # Per-model linesearch: the whole update (zoom
+                        # linesearch included) vmaps over the ensemble
+                        # axis, so each member picks its own step size.
+                        def upd(th_k, g_k, os_k, v_k):
+                            return opt.update(
+                                g_k, os_k, th_k, value=v_k, grad=g_k,
+                                value_fn=lambda th: flat_loss(
+                                    th, leaves, point_weight))
+                        updates, opt_state = jax.vmap(upd)(
+                            theta, grad, opt_state, loss_k)
+                    else:
+                        updates, opt_state = opt.update(
+                            grad, opt_state, theta, value=loss, grad=grad,
+                            value_fn=lambda th: flat_loss(th, leaves,
+                                                          point_weight))
                 else:
                     updates, opt_state = opt.update(grad, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
@@ -806,6 +818,10 @@ class Solver:
             round-trip when the device sits behind a tunnel)."""
             theta = (_flatten_stacked(params, n_models) if n_models > 1
                      else _flatten_tree(params))
+            if needs_value_fn and n_models > 1:
+                # Linesearch state (history buffers, step counts) must be
+                # per-model — the update vmaps over the ensemble axis.
+                return theta, jax.vmap(opt.init)(theta)
             return theta, opt.init(theta)
 
         compiled = (jax.jit(run_chunk, donate_argnums=(0,)), jax.jit(prep))
@@ -922,12 +938,6 @@ class Solver:
         elif self._opt is None:
             raise ValueError("fit(optimizer=None) requires a previous fit "
                              "call that created an optimizer")
-        if self._opt_needs_value_fn and self.n_models > 1:
-            raise ValueError(
-                "linesearch optimizers (LBFGS) are not supported with "
-                "n_models > 1 — the linesearch step size is per-model; "
-                "train the ensemble with Adam and polish models separately")
-
         # Sampler path.
         if sampler is None or getattr(sampler, "supports_device", False):
             sampler_key = id(sampler) if sampler is not None else "default"

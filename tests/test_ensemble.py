@@ -66,11 +66,23 @@ def test_ensemble_freeze_and_reset():
     assert solver.losses == []
 
 
-def test_ensemble_rejects_lbfgs():
-    solver = Solver(_ode, ndims=1, seed=0, n_models=2)
-    with pytest.raises(ValueError, match="n_models"):
-        solver.fit(niters=1, batch_size=16, optimizer="LBFGS",
-                   progress=False)
+def test_ensemble_lbfgs_polish():
+    # Per-model linesearch: the whole L-BFGS update vmaps over the
+    # ensemble axis, so each member picks its own step size.  The polish
+    # must deepen the (mean) loss well beyond the Adam phase for every
+    # member.
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0, n_models=3,
+                    activation="Tanh", layout="fafaf", features=[16, 12, 1])
+    solver.fit(niters=600, batch_size=256, lr=0.01, progress=False)
+    adam_loss = solver.losses[-1]
+    solver.fit(niters=120, batch_size=1024, optimizer="LBFGS",
+               resample=False, progress=False)
+    assert solver.losses[-1] < adam_loss * 0.5
+    xs = np.linspace(0, 1, 51)
+    per_member = solver.predict_all(xs)  # (3, 51, 1)
+    true = np.sin(2 * np.pi * xs) + .5
+    for k in range(3):
+        assert np.max(np.abs(per_member[k, :, 0] - true)) < 0.02
 
 
 def test_single_model_predict_all_shape():
