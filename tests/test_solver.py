@@ -103,9 +103,9 @@ def test_inverse_problem_v_token_two_phase():
     solver.model.unfreeze_trainable(variables=["new_var"])
     solver.fit(niters=300, batch_size=100, lr=0.1,
                loss_terms=["equation", "constraint_0"], progress=False)
-    new_var = float(np.asarray(solver.params["variables"]["new_var"]))
+    new_var = float(np.asarray(solver.params["variables"]["new_var"]).ravel()[0])
     assert abs(new_var - 2.0) < 0.35
-    assert abs(float(solver.predict(0.5))) < 0.1
+    assert abs(float(solver.predict(0.5)[0, 0])) < 0.1
 
 
 def test_v_token_in_initial_condition():
