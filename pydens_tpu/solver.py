@@ -573,7 +573,7 @@ class Solver:
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
-               cfg["use_plan"], cfg["balance_every"],
+               cfg["use_plan"], cfg["balance_every"], cfg["stop_on_nan"],
                # The fused-Taylor decision happens at trace time inside the
                # model; key the EFFECTIVE toggle (reachable only on the plan
                # path, and only the exact value 'always' turns it on —
@@ -631,9 +631,13 @@ class Solver:
         def flat_residual(theta, leaves):
             return point_residual(_unflatten(flatten_spec, theta), leaves)
 
+        stop_on_nan = cfg["stop_on_nan"]
+
         def run_chunk(carry, base_key, start, fit_start, n, host_pts):
-            """Run ``n <= chunk`` training steps; returns new carry and a
-            ``(chunk,)`` loss buffer whose first ``n`` entries are valid."""
+            """Run ``n <= chunk`` training steps; returns the new carry, a
+            ``(chunk,)`` loss buffer and the number of iterations actually
+            run (< ``n`` only when the divergence guard tripped — its first
+            non-finite loss is included in the valid prefix as evidence)."""
             n_batches = 1 if (adaptive or not resample) else chunk
             if device_sampling:
                 # Sample the whole chunk's collocation points in one RNG op
@@ -809,8 +813,30 @@ class Solver:
                 return new_carry, losses.at[i].set(loss)
 
             losses = jnp.zeros((chunk,), dtype)
-            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body,
-                                     (carry, losses))
+            if not stop_on_nan:
+                out_carry, losses = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(n), body, (carry, losses))
+                return out_carry, losses, jnp.int32(n)
+
+            # Divergence guard, device-side: the trip count is dynamic
+            # anyway (fori_loop with a traced `n` lowers to a while loop),
+            # so checking the freshly-written loss costs one scalar compare
+            # per iteration and a diverged fit stops AT the bad step instead
+            # of burning the rest of the compiled chunk.  The non-finite
+            # loss itself stays in the buffer so the history records it.
+            def wcond(state):
+                i, _, ok = state
+                return (i < jnp.int32(n)) & ok
+
+            def wbody(state):
+                i, s, _ = state
+                s = body(i, s)
+                return i + jnp.int32(1), s, jnp.isfinite(s[1][i])
+
+            done, (out_carry, losses), _ = jax.lax.while_loop(
+                wcond, wbody,
+                (jnp.int32(0), (carry, losses), jnp.bool_(True)))
+            return out_carry, losses, done
 
         def prep(params):
             """Flatten params and build optimizer state in one jitted call —
@@ -833,7 +859,7 @@ class Solver:
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
             adaptive=None, fast_taps="auto", callback=None,
             loss_balancing=None, checkpoint_path=None, checkpoint_every=None,
-            **kwargs):
+            stop_on_nan=True, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -881,6 +907,18 @@ class Solver:
         constraints whose gradients vanish (measured in BENCHMARKS.md).
         The starting weights are the ``loss_terms`` values; the learned
         weights land in ``history[-1]['balanced_weights']``.
+
+        ``stop_on_nan=True`` (the default) arms a divergence guard: the
+        compiled loop checks each iteration's loss device-side and exits at
+        the first non-finite value (a too-high ``lr`` or a bad geometry
+        batch no longer burns the rest of a long compiled dispatch); the
+        fit then stops cleanly with a warning naming the iteration, the
+        partial loss history (including the offending value) is kept, and
+        ``history[-1]['stopped_on_nan']`` records the index.  The guard
+        reads one scalar per chunk on the host, which serializes chunk
+        dispatches — pass ``stop_on_nan=False`` to pipeline many small
+        chunks with no host sync (the compiled-loop early exit is
+        disabled too, restoring the exact pre-guard step).
 
         ``checkpoint_path=`` enables auto-checkpointing for long runs:
         the full training state (params, optimizer state, losses, step
@@ -1002,7 +1040,7 @@ class Solver:
                              frozenset(self.model._frozen_variables)),
                    sampler=sampler, sampler_key=sampler_key,
                    resample=bool(resample), adaptive=adaptive,
-                   balance_every=balance_every,
+                   balance_every=balance_every, stop_on_nan=bool(stop_on_nan),
                    needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
@@ -1066,10 +1104,10 @@ class Solver:
                     host_pts = jnp.asarray(pts)
             else:
                 host_pts = np.float32(0.0)  # unused placeholder
-            carry, chunk_losses = run_chunk(
+            carry, chunk_losses, iters_done = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(self._step_counter), np.int32(n), host_pts)
-            return carry, chunk_losses, n
+            return carry, chunk_losses, n, iters_done
 
         if balance_every:
             # Initial weights in the step's term order (equation first,
@@ -1114,13 +1152,35 @@ class Solver:
                 balanced_weights=(np.asarray(carry[2]).tolist()
                                   if balance_every else None))
 
+        nan_stop = None
         try:
             with profile_ctx:
                 for start in iterator:
                     # `carry` must be reassigned before the callback can
                     # raise: the previous carry's buffers were donated to
                     # the device call and are dead.
-                    carry, chunk_losses, n = run_one_chunk(carry, start)
+                    carry, chunk_losses, n, iters_done = \
+                        run_one_chunk(carry, start)
+                    if stop_on_nan:
+                        done = int(iters_done)  # syncs with the device
+                        if done < n:
+                            # Diverged: the compiled loop exited at the
+                            # first non-finite loss (index done-1 of this
+                            # chunk).  Keep the partial history, skip the
+                            # checkpoint (the carry is NaN — the last good
+                            # snapshot stays), stop the fit.
+                            import warnings
+                            nan_stop = self._step_counter + start + done - 1
+                            iters_run = start + done
+                            pending_losses.append((chunk_losses, done))
+                            warnings.warn(
+                                f"fit stopped early: non-finite loss at "
+                                f"iteration {nan_stop} (of {niters}); the "
+                                "partial loss history is kept. Lower the "
+                                "learning rate or check the sampled "
+                                "domain. Pass stop_on_nan=False to "
+                                "disable this guard.")
+                            break
                     iters_run = min(niters, start + chunk)
                     pending_losses.append((chunk_losses, n))
                     if checkpoint_path is not None and (
@@ -1142,8 +1202,10 @@ class Solver:
                         break
             # Final snapshot at fit end (normal completion OR a clean
             # callback stop), regardless of the interval; crashes between
-            # interval marks are covered by the interval saves above.
-            if checkpoint_path is not None and ckpt_iters_saved < iters_run:
+            # interval marks are covered by the interval saves above.  A
+            # NaN stop keeps the last good snapshot instead.
+            if (checkpoint_path is not None and nan_stop is None
+                    and ckpt_iters_saved < iters_run):
                 save_checkpoint(carry)
         finally:
             # Commit whatever completed — a raising callback (or any other
@@ -1175,6 +1237,8 @@ class Solver:
         })
         if balanced_weights is not None:
             self.history[-1]["balanced_weights"] = balanced_weights
+        if nan_stop is not None:
+            self.history[-1]["stopped_on_nan"] = int(nan_stop)
         return self
 
     # ------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Round-3 hardening: divergence guard, bucketed inference, numpy-ufunc
+symbols, `.ctx` migration shim (VERDICT round 2 items 3-5, 8)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D
+
+
+def _ode(f, x):
+    return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+
+# ---------------------------------------------------------------------------
+# Divergence guard (stop_on_nan)
+# ---------------------------------------------------------------------------
+
+def test_diverging_fit_stops_within_one_chunk():
+    # SGD at lr=1e10 overflows the parameters within a couple of steps; the
+    # device-side guard must exit the compiled loop at the first non-finite
+    # loss instead of burning the remaining iterations.
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        solver.fit(niters=5000, batch_size=32, optimizer="SGD", lr=1e10,
+                   chunk_size=5000, progress=False)
+    msgs = [str(w.message) for w in caught]
+    assert any("non-finite loss" in m for m in msgs), msgs
+    rec = solver.history[-1]
+    assert "stopped_on_nan" in rec
+    # The guard stops AT the bad step: far fewer losses than requested, and
+    # the last recorded loss is the non-finite evidence.
+    assert len(solver.losses) < 100
+    assert not np.isfinite(solver.losses[-1])
+    assert rec["niters"] == len(solver.losses)
+    assert rec["stopped_on_nan"] == len(solver.losses) - 1
+
+
+def test_finite_fit_unaffected_by_guard():
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0,
+                    activation="Tanh", layout="fafaf", features=[12, 10, 1])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        solver.fit(niters=300, batch_size=128, lr=0.02, progress=False)
+    assert not any("non-finite" in str(w.message) for w in caught)
+    assert len(solver.losses) == 300
+    assert "stopped_on_nan" not in solver.history[-1]
+    assert solver.losses[-1] < 1e-2
+
+
+def test_stop_on_nan_false_runs_to_completion():
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    solver.fit(niters=50, batch_size=16, optimizer="SGD", lr=1e10,
+               stop_on_nan=False, progress=False)
+    assert len(solver.losses) == 50  # guard off: all iterations recorded
+    assert not np.isfinite(solver.losses[-1])
+    assert "stopped_on_nan" not in solver.history[-1]
+
+
+def test_nan_stop_keeps_last_good_checkpoint(tmp_path):
+    # The snapshot written before divergence must survive; the NaN carry
+    # must never overwrite it.
+    path = str(tmp_path / "ckpt.msgpack")
+    good = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    good.fit(niters=20, batch_size=32, checkpoint_path=path, progress=False)
+    good_losses = list(good.losses)
+
+    bad = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    bad.load(path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bad.fit(niters=200, batch_size=32, optimizer="SGD", lr=1e10,
+                checkpoint_path=path, chunk_size=50, progress=False)
+    restored = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    restored.load(path)
+    # The checkpoint still holds the pre-divergence state (finite params,
+    # the good run's loss history).
+    flat = np.concatenate([np.ravel(l) for l in
+                           __import__("jax").tree.leaves(restored.params)])
+    assert np.isfinite(flat).all()
+    assert restored.losses == pytest.approx(good_losses)
