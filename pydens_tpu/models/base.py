@@ -23,7 +23,34 @@ import jax.numpy as jnp
 from .layout import make_layout_network
 from ..ops.tokens import variable_scope
 
-__all__ = ["Model", "ConvBlockModel", "TorchModel"]
+__all__ = ["Model", "ConvBlockModel", "TorchModel", "pad_to_bucket"]
+
+# Inference inputs pad up to the next power-of-two row count (floor 1024)
+# before hitting a jitted entry: XLA compiles per concrete shape, and on a
+# real TPU each fresh compile costs tens of seconds — a user sweeping grid
+# sizes (predict on 33 points after plotting at 100) must not pay one per
+# distinct N.  log2-many buckets cover any sweep; the floor makes every
+# small-N evaluation share ONE executable.  A 1024-row forward of a PINN
+# MLP is microseconds on the MXU, so the padded FLOPs are free.
+_MIN_BUCKET = 1024
+
+
+def pad_to_bucket(xs):
+    """Pad ``xs`` rows to the shape bucket by repeating the last row
+    (domain-valid filler — safe under any ansatz/log).  Returns
+    ``(padded, n)`` with ``n`` the true row count; slice the jitted
+    output back with ``out[..., :n, :]``."""
+    n = int(xs.shape[0])
+    if n == 0:
+        return xs, 0
+    b = _MIN_BUCKET
+    while b < n:
+        b *= 2
+    if b == n:
+        return xs, n
+    lib = np if isinstance(xs, np.ndarray) else jnp
+    filler = lib.broadcast_to(xs[-1:], (b - n,) + tuple(xs.shape[1:]))
+    return lib.concatenate([xs, filler], axis=0), n
 
 
 def _normalize_domain(domain, ndims):
@@ -493,17 +520,31 @@ class Model:
             return self.anzatc(u, xs, params)
 
     def predict_apply(self, params, xs):
-        """Jitted inference entry.  Ensembles return ``(K, N, 1)``; single
-        models may route through the fused Pallas chain (opt-in) with
-        transparent fallback."""
+        """Inference entry: pads the batch to a shape bucket (see
+        :func:`pad_to_bucket`) so a sweep of grid sizes reuses ONE compiled
+        executable instead of recompiling per distinct ``N``, runs the
+        jitted forward, and returns a host ``numpy`` array sliced back to
+        the true row count.  Padding and slicing happen host-side — eager
+        device ops cost a round-trip each behind the TPU tunnel.  Ensembles
+        return ``(K, N, 1)``; single models may route through the fused
+        Pallas chain (opt-in) with transparent fallback."""
+        if isinstance(xs, jax.Array):
+            xs = np.asarray(xs)
+        xs, n = pad_to_bucket(xs)
         if self.ensemble_size > 1:
-            return self._apply_jit_ensemble(params, xs)
-        if not self._fused_broken and self._fusion_enabled(xs.shape[0]):
+            out = self._apply_jit_ensemble(params, xs)
+        elif not self._fused_broken and self._fusion_enabled(xs.shape[0]):
             try:
-                return self._apply_jit_fused(params, xs)
+                out = self._apply_jit_fused(params, xs)
             except Exception:  # Mosaic lowering/runtime issue — fall back
                 self._fused_broken = True
-        return self._apply_jit(params, xs)
+                out = self._apply_jit(params, xs)
+        else:
+            out = self._apply_jit(params, xs)
+        out = np.asarray(out)
+        if out.shape[-2] != n:
+            out = out[..., :n, :]
+        return out
 
     def __call__(self, *xs):
         """Evaluate the trained model at host-supplied points (the reference's
@@ -514,9 +555,9 @@ class Model:
             raise RuntimeError("model has no parameters yet — build it "
                                "through a Solver")
         xs_concat = Solver.reshape_and_concat(xs)
-        out = self.predict_apply(self.params, jnp.asarray(xs_concat))
+        out = self.predict_apply(self.params, xs_concat)
         if self.ensemble_size > 1:
-            out = jnp.mean(out, axis=0)
+            out = out.mean(axis=0)
         return out
 
     forward = __call__

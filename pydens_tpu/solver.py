@@ -33,6 +33,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .models import ConvBlockModel
+from .models.base import pad_to_bucket
 from .ops.tokens import Expr, EvalContext, variable_scope, as_array, D
 from .utils.criteria import resolve_criterion
 from .utils.optimizers import resolve_optimizer
@@ -1257,7 +1258,12 @@ class Solver:
             raise ValueError(
                 f"received {xs_concat.shape[1]} coordinate columns but the "
                 f"problem has ndims+nparams={self.model.total}")
-        return jnp.asarray(xs_concat, self.model.dtype)
+        # Stay on the host (numpy): padding/slicing device arrays costs one
+        # eager dispatch each — a round-trip (and a cold remote mini-compile)
+        # when the chip sits behind a tunnel.  The jitted entries take the
+        # numpy batch directly; ml_dtypes covers bf16 casts host-side.
+        return np.asarray(xs_concat,
+                          jax.dtypes.canonicalize_dtype(self.model.dtype))
 
     def _predict_raw(self, xs):
         return self.model.predict_apply(self.model.params,
@@ -1280,9 +1286,11 @@ class Solver:
             else:
                 res_fn = point_residual
             self._residual_jit = jax.jit(res_fn)
-        xs_concat = self._normalize_inputs(xs)
+        # Shape-bucketed like predict_apply: one compile serves a sweep of
+        # grid sizes.
+        xs_concat, n = pad_to_bucket(self._normalize_inputs(xs))
         leaves = [xs_concat[:, i:i + 1] for i in range(self.model.total)]
-        return np.asarray(self._residual_jit(self.model.params, leaves))
+        return np.asarray(self._residual_jit(self.model.params, leaves))[:n]
 
     def predict_grad(self, *xs):
         """First derivatives of the trained solution w.r.t. every coordinate
@@ -1323,8 +1331,8 @@ class Solver:
                 fn = one_model
             self._grad_jit = jax.jit(fn)
 
-        xs_concat = self._normalize_inputs(xs)
-        out = np.asarray(self._grad_jit(self.model.params, xs_concat))
+        xs_concat, n = pad_to_bucket(self._normalize_inputs(xs))
+        out = np.asarray(self._grad_jit(self.model.params, xs_concat))[:n]
         return out[..., 0] if out.shape[-1] == 1 else out
 
     def predict(self, *xs):
@@ -1339,7 +1347,7 @@ class Solver:
         """
         out = self._predict_raw(xs)
         if self.n_models > 1:
-            out = jnp.mean(out, axis=0)
+            out = out.mean(axis=0)
         return np.asarray(out)
 
     def predict_all(self, *xs):
@@ -1354,7 +1362,7 @@ class Solver:
         learned solution, shape ``(N, n_out)``.  Requires ``n_models > 1``."""
         if self.n_models <= 1:
             raise ValueError("predict_std requires Solver(n_models > 1)")
-        return np.asarray(jnp.std(self._predict_raw(xs), axis=0))
+        return np.asarray(self._predict_raw(xs).std(axis=0))
 
     # ------------------------------------------------------------------
     # checkpointing (superset of the reference, which has none — SURVEY §5)

@@ -39,6 +39,59 @@ def test_diverging_fit_stops_within_one_chunk():
     assert rec["stopped_on_nan"] == len(solver.losses) - 1
 
 
+# ---------------------------------------------------------------------------
+# Shape-bucketed inference (no per-N recompiles)
+# ---------------------------------------------------------------------------
+
+def test_inference_grid_sweep_compiles_once():
+    # Sweeping grid sizes must reuse ONE executable per inference entry:
+    # inputs pad to the shape bucket (next pow2, floor 1024), outputs are
+    # sliced back.  On a real TPU each avoided compile is tens of seconds.
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    solver.fit(niters=5, batch_size=16, progress=False)
+    for n in (33, 100, 257, 1000):
+        xs = np.linspace(0, 1, n)
+        assert solver.predict(xs).shape == (n, 1)
+        assert solver.residual(xs).shape == (n, 1)
+        assert solver.predict_grad(xs).shape == (n, 1)
+    assert solver.model._apply_jit._cache_size() == 1
+    assert solver._residual_jit._cache_size() == 1
+    assert solver._grad_jit._cache_size() == 1
+
+
+def test_padded_inference_values_independent_of_batch():
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    solver.fit(niters=5, batch_size=16, progress=False)
+    xs = np.linspace(0, 1, 33)
+    big = np.concatenate([xs, np.linspace(0.3, 0.7, 500)])
+    np.testing.assert_allclose(solver.predict(xs),
+                               solver.predict(big)[:33], atol=1e-6)
+    np.testing.assert_allclose(solver.residual(xs),
+                               solver.residual(big)[:33], atol=1e-6)
+
+
+def test_bucketed_inference_ensemble_shapes():
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0, n_models=3)
+    solver.fit(niters=5, batch_size=16, progress=False)
+    xs = np.linspace(0, 1, 77)
+    assert solver.predict(xs).shape == (77, 1)
+    assert solver.predict_all(xs).shape == (3, 77, 1)
+    assert solver.predict_std(xs).shape == (77, 1)
+    assert solver.model._apply_jit_ensemble._cache_size() == 1
+
+
+def test_pad_to_bucket_edges():
+    from pydens_tpu.models.base import pad_to_bucket
+    exact = np.zeros((1024, 2), np.float32)
+    padded, n = pad_to_bucket(exact)
+    assert padded is exact and n == 1024  # no copy at the bucket boundary
+    padded, n = pad_to_bucket(np.arange(6, dtype=np.float32).reshape(3, 2))
+    assert padded.shape == (1024, 2) and n == 3
+    assert (padded[3:] == padded[2]).all()  # filler repeats the last row
+    big = np.zeros((1025, 2), np.float32)
+    assert pad_to_bucket(big)[0].shape == (2048, 2)
+
+
 def test_finite_fit_unaffected_by_guard():
     solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0,
                     activation="Tanh", layout="fafaf", features=[12, 10, 1])
