@@ -84,14 +84,17 @@ class Expr:
     the full numeric operator protocol; mixing with plain arrays/scalars
     treats them as constants with respect to the leaves.
 
-    Raw ``jax.numpy`` functions do NOT accept ``Expr`` objects (JAX >= 0.9
-    rejects duck-typed array conversion under trace) — use the drop-in
-    namespace ``import pydens_tpu.numpy as jnp``, the symbolic math wrappers
-    exported from ``pydens_tpu`` (``sin``, ``cos``, ``exp``, ...), or
-    :func:`lift`; they behave identically on plain arrays and keep
-    expressions differentiable, so ``D(cos(x) * f, x)`` applies the full
-    product rule.  ``.value`` materializes the current (traced) array when a
-    non-differentiable escape hatch is needed.
+    Plain ``numpy`` ufunc math works directly (``np.cos(2 * np.pi * x)``
+    stays symbolic via ``__array_ufunc__`` → :func:`lift`), matching the
+    reference's free np/torch mixing.  Raw ``jax.numpy`` functions do NOT
+    accept ``Expr`` objects (JAX >= 0.9 rejects duck-typed array conversion
+    under trace) — use the drop-in namespace ``import pydens_tpu.numpy as
+    jnp``, the symbolic math wrappers exported from ``pydens_tpu`` (``sin``,
+    ``cos``, ``exp``, ...), or :func:`lift`; they behave identically on
+    plain arrays and keep expressions differentiable, so
+    ``D(cos(x) * f, x)`` applies the full product rule.  ``.value``
+    materializes the current (traced) array when a non-differentiable
+    escape hatch is needed.
     """
 
     __slots__ = ("fn", "ctx", "leaf_index", "deriv", "post", "_value",
@@ -222,6 +225,27 @@ class Expr:
             out.post = ((lambda v: prev(v)[idx]) if prev is not None
                         else (lambda v: v[idx]))
         return out
+
+    # -- numpy interop ------------------------------------------------------
+    # The reference mixes np and torch math freely inside equations
+    # (`/root/reference/pydens/model_torch.py:207-221`, e.g.
+    # ``D(f, x) - 2 * np.pi * torch.cos(2 * np.pi * x)``); routing numpy
+    # ufuncs through :func:`lift` lets plain ``np.cos(x)`` on a coordinate
+    # symbol stay symbolic and differentiable, so equations written with
+    # ``np.*`` math only port unchanged.
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs.get("out") is not None:
+            raise TypeError(
+                f"numpy ufunc method {ufunc.__name__}.{method} is not "
+                "supported on symbolic expressions; use the pydens_tpu math "
+                "functions (pydens_tpu.cos, ...) or pydens_tpu.lift")
+        jfn = getattr(jnp, ufunc.__name__, None)
+        if jfn is None:
+            raise TypeError(
+                f"numpy ufunc {ufunc.__name__!r} has no jax.numpy "
+                "equivalent to apply symbolically; wrap a jnp-compatible "
+                "function with pydens_tpu.lift instead")
+        return lift(jfn)(*inputs, **kwargs)
 
     # Comparisons materialize — they are not differentiable anyway.
     def __lt__(self, o):

@@ -15,6 +15,69 @@ def _ode(f, x):
 
 
 # ---------------------------------------------------------------------------
+# numpy-ufunc math on equation symbols (np.cos(x) stays symbolic)
+# ---------------------------------------------------------------------------
+
+def test_np_ufunc_equation_converges():
+    # The reference docstring's ODE written with np.* math ONLY
+    # (model_torch.py:207-211: D(f, x) - 2*pi*cos(2*pi*x)) must work
+    # unchanged: np.cos on a coordinate symbol routes through lift.
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * np.cos(2 * np.pi * x)
+
+    solver = Solver(ode, ndims=1, initial_condition=.5, seed=0,
+                    activation="Tanh", layout="fafaf", features=[12, 10, 1])
+    solver.fit(niters=400, batch_size=128, lr=0.02, progress=False)
+    xs = np.linspace(0, 1, 50)
+    err = np.max(np.abs(solver.predict(xs).ravel()
+                        - (np.sin(2 * np.pi * xs) + .5)))
+    assert err < 0.05, err
+
+
+def test_np_ufunc_parametric_equation():
+    # model_torch.py:218-221: parametric rhs with np math, e a parameter.
+    def pde(f, x, e):
+        return D(f, x) - e * np.pi * np.cos(e * np.pi * x)
+
+    from pydens_tpu import NumpySampler as NS
+    solver = Solver(pde, ndims=1, nparams=1, initial_condition=1, seed=0)
+    solver.fit(niters=30, batch_size=64,
+               sampler=NS("u") & NS("u", low=1, high=5), progress=False)
+    assert np.isfinite(solver.losses).all()
+
+
+def test_np_ufunc_product_rule_and_binary():
+    # np.* subexpressions stay differentiable: D applies the product rule
+    # through np.cos, and binary ufuncs (np.add with an array operand)
+    # stay symbolic too.
+    from pydens_tpu.ops.tokens import Expr, EvalContext, as_array
+
+    leaves = [np.linspace(0.1, 1, 8, dtype=np.float32).reshape(-1, 1)]
+    ctx = EvalContext(leaves)
+    x = Expr(lambda ls: ls[0], ctx, leaf_index=0)
+    y = D(np.cos(x) * x, x)  # d/dx (x cos x) = cos x - x sin x
+    expected = np.cos(leaves[0]) - leaves[0] * np.sin(leaves[0])
+    np.testing.assert_allclose(np.asarray(as_array(y)), expected, rtol=1e-5)
+    z = np.add(np.ones((8, 1), np.float32), x)
+    assert isinstance(z, Expr)
+    np.testing.assert_allclose(np.asarray(as_array(z)), 1.0 + leaves[0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(as_array(np.log(x))),
+                               np.log(leaves[0]), rtol=1e-5)
+
+
+def test_np_ufunc_unsupported_raises_helpfully():
+    from pydens_tpu.ops.tokens import Expr, EvalContext
+
+    ctx = EvalContext([np.ones((2, 1), np.float32)])
+    x = Expr(lambda ls: ls[0], ctx, leaf_index=0)
+    with pytest.raises(TypeError, match="lift"):
+        np.add.reduce(x)  # non-__call__ ufunc method
+    with pytest.raises(TypeError, match="lift"):
+        np.frompyfunc(lambda a: a, 1, 1)(x)  # no jnp equivalent
+
+
+# ---------------------------------------------------------------------------
 # Divergence guard (stop_on_nan)
 # ---------------------------------------------------------------------------
 
