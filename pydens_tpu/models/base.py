@@ -548,13 +548,22 @@ class Model:
 
     def __call__(self, *xs):
         """Evaluate the trained model at host-supplied points (the reference's
-        ``solver.model(xs)`` usage from the examples notebook).  Accepts the
-        same mixed inputs as ``Solver.predict``."""
+        ``solver.model(xs)`` / ``solver.ctx.run(solver.model, xs)`` usage
+        from the examples notebook).  Accepts the same mixed inputs as
+        ``Solver.predict``, including one pre-stacked ``(N, ndims+nparams)``
+        array — the form the reference's forward consumes directly."""
         from ..solver import Solver  # local import to avoid a cycle
         if self.params is None:
             raise RuntimeError("model has no parameters yet — build it "
                                "through a Solver")
-        xs_concat = Solver.reshape_and_concat(xs)
+        if (len(xs) == 1 and hasattr(xs[0], "ndim") and xs[0].ndim == 2
+                and xs[0].shape[1] == self.total > 1):
+            x = xs[0]
+            if hasattr(x, "detach"):  # torch tensor
+                x = x.detach().cpu().numpy()
+            xs_concat = np.asarray(x, np.float32)
+        else:
+            xs_concat = Solver.reshape_and_concat(xs)
         out = self.predict_apply(self.params, xs_concat)
         if self.ensemble_size > 1:
             out = out.mean(axis=0)

@@ -114,6 +114,14 @@ def _is_number(x):
     return isinstance(x, (int, float, np.integer, np.floating))
 
 
+class _CtxShim:
+    """``Solver.ctx`` compatibility object (see the property docstring)."""
+
+    @staticmethod
+    def run(fn, *args, **kwargs):
+        return fn(*args, **kwargs)
+
+
 class Solver:
     r"""Solver of differential equations with neural networks.
 
@@ -318,6 +326,17 @@ class Solver:
     @property
     def optimizer(self):
         return self._opt
+
+    @property
+    def ctx(self):
+        """Migration shim for the reference's ``solver.ctx.run(fn, *args)``
+        idiom (examples notebook; the reference snapshots a contextvars
+        context so ``V`` resolves inside user calls,
+        ``model_torch.py:316-317,486``).  The rebuild needs no ambient
+        context — V variables live in the parameter pytree and the model
+        reads them itself — so ``run`` simply invokes the callable:
+        ``solver.ctx.run(solver.model, xs)`` ≡ ``solver.model(xs)``."""
+        return _CtxShim()
 
     # ------------------------------------------------------------------
     # input normalization

@@ -15,6 +15,39 @@ def _ode(f, x):
 
 
 # ---------------------------------------------------------------------------
+# solver.ctx migration shim + stacked-array model call
+# ---------------------------------------------------------------------------
+
+def test_ctx_run_reference_idiom():
+    # The reference examples notebook calls solver.ctx.run(solver.model, xs)
+    # with a ready (N, total) array; the shim must make that work verbatim.
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y) - 5 * pdt.sin(np.pi * (x + y))
+
+    solver = Solver(pde, ndims=2, boundary_condition=1, seed=0)
+    solver.fit(niters=5, batch_size=16, progress=False)
+    xs = np.stack([np.linspace(0, 1, 40),
+                   np.linspace(0, 1, 40)], axis=1).astype(np.float32)
+    via_ctx = np.asarray(solver.ctx.run(solver.model, xs))
+    assert via_ctx.shape == (40, 1)
+    np.testing.assert_allclose(via_ctx, solver.predict(xs), atol=1e-6)
+    # plain callables route through unchanged
+    assert solver.ctx.run(lambda a, b: a + b, 1, 2) == 3
+
+
+def test_model_call_stacked_vs_columns():
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y)
+
+    solver = Solver(pde, ndims=2, boundary_condition=0, seed=0)
+    solver.fit(niters=2, batch_size=16, progress=False)
+    cols = (np.linspace(0, 1, 9), np.linspace(0, 1, 9))
+    stacked = np.stack(cols, axis=1).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(solver.model(*cols)),
+                               np.asarray(solver.model(stacked)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # numpy-ufunc math on equation symbols (np.cos(x) stays symbolic)
 # ---------------------------------------------------------------------------
 
