@@ -1,5 +1,6 @@
-"""Parallelism: device meshes and shardings for data-parallel training."""
+"""Parallelism: device meshes, shardings and multi-process coordination."""
 
 from .mesh import make_mesh, batch_sharding, replicated
+from . import distributed
 
-__all__ = ["make_mesh", "batch_sharding", "replicated"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "distributed"]

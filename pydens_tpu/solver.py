@@ -34,6 +34,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .models import ConvBlockModel
 from .models.base import pad_to_bucket
+from .parallel.distributed import (is_multi_process, to_global_replicated,
+                                   global_batch)
 from .ops.tokens import Expr, EvalContext, variable_scope, as_array, D
 from .utils.criteria import resolve_criterion
 from .utils.optimizers import resolve_optimizer
@@ -188,6 +190,11 @@ class Solver:
         #                    of the reference's bare `losses` list, SURVEY §5)
         self.last_balanced_weights = None  # set by load() from snapshots
         self.mesh = mesh
+        # Multi-process (multi-host) mesh: the training step is already pure
+        # SPMD, but host-side state must be assembled into global arrays —
+        # see parallel/distributed.py.  Every process drives the Solver in
+        # lockstep (the standard JAX multi-controller contract).
+        self._mesh_mp = mesh is not None and is_multi_process(mesh)
 
         # Build the model (all kwargs forwarded, as in model_torch.py:312-313).
         self.model = model(**kwargs, ndims=ndims,
@@ -1118,8 +1125,14 @@ class Solver:
                     pts = fixed_host_batch
                 if self.mesh is not None:
                     data_axis, _ = _mesh_axes(self.mesh, self.n_models)
-                    host_pts = jax.device_put(pts, NamedSharding(
-                        self.mesh, P(None, data_axis, None)))
+                    spec = P(None, data_axis, None)
+                    if self._mesh_mp:
+                        # Every process sampled the same full batch (same
+                        # seed); each contributes its local devices' shards.
+                        host_pts = global_batch(self.mesh, pts, spec)
+                    else:
+                        host_pts = jax.device_put(
+                            pts, NamedSharding(self.mesh, spec))
                 else:
                     host_pts = jnp.asarray(pts)
             else:
@@ -1141,6 +1154,11 @@ class Solver:
                      jnp.asarray(init_wts, self.model.dtype))
         else:
             carry = (theta, self._opt_state)
+        if self._mesh_mp:
+            # Assemble per-process host-local state into replicated global
+            # arrays (already-global leaves pass through) — a mesh-sharded
+            # jit under multi-controller SPMD requires global inputs.
+            carry = to_global_replicated(carry, self.mesh)
         # This fit's per-iteration losses: chunk loss buffers stay on device
         # (reading them synchronizes) and drain to host floats incrementally
         # — O(total) over the fit — only when something needs them

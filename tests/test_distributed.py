@@ -1,0 +1,129 @@
+"""Multi-process mesh: 2 coordinated CPU processes (4 virtual devices each)
+train over one 8-device global mesh and must reproduce the single-process
+run's loss trajectory (SURVEY §2: the mesh abstraction must not preclude
+scale-out past one process; VERDICT r2 item 2)."""
+
+import json
+import os
+import random
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D
+from pydens_tpu.parallel import make_mesh, distributed
+
+_WORKER = r"""
+import sys, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+from pydens_tpu.parallel import distributed
+distributed.initialize(coordinator_address=f"localhost:{port}",
+                       num_processes=2, process_id=pid)
+import numpy as np
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D
+from pydens_tpu.parallel import make_mesh
+from pydens_tpu.samplers import ScipySampler
+
+def ode(f, x):
+    return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+mesh = make_mesh()  # global: 4 local + 4 remote devices
+assert mesh.size == 8 and distributed.is_multi_process(mesh)
+solver = Solver(ode, ndims=1, initial_condition=.5, mesh=mesh, seed=0,
+                activation="Tanh", layout="fafaf", features=[12, 10, 1])
+solver.fit(niters=40, batch_size=64, lr=0.02, progress=False)
+dev_losses = [float(l) for l in solver.losses]
+# host-sampler path: every process samples the same batch, contributes its
+# local shards (parallel/distributed.global_batch)
+solver.fit(niters=5, batch_size=64, lr=0.02,
+           sampler=ScipySampler("uniform", seed=0), progress=False)
+host_losses = [float(l) for l in solver.losses[40:]]
+# inference in lockstep on the distributed-trained global params
+pred = solver.predict(np.linspace(0, 1, 33))
+assert pred.shape == (33, 1) and np.isfinite(pred).all()
+# fetch() materializes the replicated global params on every process
+flat = np.concatenate([np.ravel(l) for l in
+                       jax.tree.leaves(distributed.fetch(solver.params))])
+assert np.isfinite(flat).all()
+if pid == 0:
+    with open(out, "w") as fh:
+        json.dump({"dev": dev_losses, "host": host_losses,
+                   "pred": np.asarray(pred).ravel().tolist()}, fh)
+print("WORKER_OK", pid, flush=True)
+"""
+
+
+def _ode(f, x):
+    return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    out = tmp_path / "p0.json"
+    port = random.randint(20000, 40000)
+
+    env = dict(os.environ)
+    # The workers request 4 virtual devices in-process; the parent's
+    # XLA_FLAGS (8 forced host devices) would override that.
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port), str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+        assert "WORKER_OK" in log
+
+    dist = json.loads(out.read_text())
+
+    # Single-process reference: same config/seed on the local 8-device mesh.
+    solver = Solver(_ode, ndims=1, initial_condition=.5, mesh=make_mesh(),
+                    seed=0, activation="Tanh", layout="fafaf",
+                    features=[12, 10, 1])
+    solver.fit(niters=40, batch_size=64, lr=0.02, progress=False)
+    np.testing.assert_allclose(dist["dev"], solver.losses,
+                               rtol=1e-4, atol=1e-6)
+    from pydens_tpu.samplers import ScipySampler
+    solver.fit(niters=5, batch_size=64, lr=0.02,
+               sampler=ScipySampler("uniform", seed=0), progress=False)
+    np.testing.assert_allclose(dist["host"], solver.losses[40:],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        dist["pred"], solver.predict(np.linspace(0, 1, 33)).ravel(),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_is_multi_process_false_locally():
+    assert not distributed.is_multi_process(make_mesh())
+
+
+def test_to_global_replicated_passthrough_locally():
+    # On a single-process mesh every leaf is fully addressable already;
+    # global assembly must be value-preserving.
+    mesh = make_mesh()
+    tree = {"a": np.arange(4, dtype=np.float32), "b": np.float32(2.0)}
+    out = distributed.to_global_replicated(tree, mesh)
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+    assert float(out["b"]) == 2.0
