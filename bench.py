@@ -69,6 +69,107 @@ def bench_pydens_tpu():
     return best, NITERS / best, final_loss, sustained
 
 
+def bench_large_batch():
+    """Large-batch scaling point (BENCHMARKS.md 'Training-throughput
+    scaling'): collocation points/second at batch 65,536 on the wider
+    [64,64,64,1] net, plus the HBM-roofline fraction from XLA's compiled
+    cost analysis (v5e peak 819 GB/s)."""
+    import jax
+    import pydens_tpu as pdt
+    from pydens_tpu import Solver, D
+
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y) - 5 * pdt.sin(np.pi * (x + y))
+
+    def timed_fit(solver, batch, iters):
+        solver.fit(niters=iters, batch_size=batch, progress=False,
+                   chunk_size=iters)  # warm-up compile
+        solver.reset(seed=1)
+        t0 = time.perf_counter()
+        solver.fit(niters=iters, batch_size=batch, progress=False,
+                   chunk_size=iters)
+        return iters / (time.perf_counter() - t0)
+
+    # Throughput point: batch 65,536 is the points/s optimum of the scaling
+    # sweep (BENCHMARKS.md table).
+    batch = 65536
+    solver = Solver(pde, ndims=2, boundary_condition=1, layout="fa fa fa f",
+                    activation="Tanh", units=[64, 64, 64, 1], seed=0)
+    pts_per_s = batch * timed_fit(solver, batch, 200)
+
+    # Roofline point: batch 262,144 is the bandwidth-SATURATED regime where
+    # XLA's cost-model bytes match real traffic (at 65k it overcounts —
+    # fixed-size buffers don't amortize and some state stays in VMEM, so
+    # the naive fraction exceeds 1; measured, see BENCHMARKS.md).
+    roofline_frac = None
+    try:
+        big = Solver(pde, ndims=2, boundary_condition=1,
+                     layout="fa fa fa f", activation="Tanh",
+                     units=[64, 64, 64, 1], seed=0)
+        it_s = timed_fit(big, 262144, 100)
+        (run_chunk, prep), = big._step_cache.values()
+        theta, opt_state = prep(big.model.params)
+        args = ((theta, opt_state), jax.random.key(0), np.int32(0),
+                np.int32(0), np.int32(1), np.float32(0.0))
+        cost = run_chunk.lower(*args).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        bytes_per_iter = float(cost["bytes accessed"])
+        roofline_frac = bytes_per_iter * it_s / 819e9  # v5e HBM peak
+    except Exception as err:
+        print(f"# roofline cost analysis unavailable: {err}",
+              file=sys.stderr)
+    return pts_per_s, roofline_frac
+
+
+def bench_plan_ratio():
+    """Taylor-plan speedup over the universal nested-jvp path on the README
+    config (plan regime: small batch) — sustained rate ratio."""
+    import pydens_tpu as pdt
+    from pydens_tpu import Solver, D
+
+    def pde(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y) - 5 * pdt.sin(np.pi * (x + y))
+
+    solver = Solver(pde, ndims=2, boundary_condition=1, layout="fa fa fa f",
+                    activation="Tanh", units=[10, 12, 15, 1], seed=0)
+    n = 10000
+    rates = {}
+    for fast_taps in (True, False):
+        solver.reset(seed=0)
+        solver.fit(batch_size=BATCH, niters=n, progress=False, chunk_size=n,
+                   fast_taps=fast_taps)  # warm-up compile
+        solver.reset(seed=1)
+        t0 = time.perf_counter()
+        solver.fit(batch_size=BATCH, niters=n, progress=False, chunk_size=n,
+                   fast_taps=fast_taps)
+        rates[fast_taps] = n / (time.perf_counter() - t0)
+    return rates[True] / rates[False]
+
+
+def bench_burgers():
+    """Run the Burgers shock example end-to-end (examples/16, its own
+    internal asserts included) and report the relative L2 error vs the
+    Cole-Hopf exact solution — the automated backing for the README claim."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "16_burgers_shock.py")
+    spec = importlib.util.spec_from_file_location("burgers_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    t0 = time.perf_counter()
+    solver = mod.main()  # asserts worst < 0.08, rel_l2 < 0.01 internally
+    wall = time.perf_counter() - t0
+    xs = np.linspace(-1, 1, 401)
+    preds, trues = [], []
+    for t_eval in (0.25, 0.5, 1.0):
+        preds.append(solver.predict(xs, np.full_like(xs, t_eval)).ravel())
+        trues.append(mod.burgers_exact(xs, np.full_like(xs, t_eval)))
+    rel_l2 = (np.linalg.norm(np.concatenate(preds) - np.concatenate(trues))
+              / np.linalg.norm(np.concatenate(trues)))
+    return float(rel_l2), wall
+
+
 def bench_torch_reference():
     """Reference-semantics torch loop (CPU), probed for TORCH_PROBE_ITERS
     iterations and extrapolated to a rate."""
@@ -136,6 +237,23 @@ def main():
 
     wall, rate, loss, sustained = bench_pydens_tpu()
 
+    # Scaling/quality extras (each individually non-fatal so one flaky
+    # tunnel stall can't kill the whole bench line).
+    large_pts = roofline = plan_ratio = burgers_l2 = burgers_wall = None
+    try:
+        large_pts, roofline = bench_large_batch()
+    except Exception as err:
+        print(f"# large-batch bench failed: {err}", file=sys.stderr)
+    try:
+        plan_ratio = bench_plan_ratio()
+    except Exception as err:
+        print(f"# plan-ratio bench failed: {err}", file=sys.stderr)
+    if os.environ.get("BENCH_SKIP_BURGERS") != "1":
+        try:
+            burgers_l2, burgers_wall = bench_burgers()
+        except Exception as err:
+            print(f"# burgers bench failed: {err}", file=sys.stderr)
+
     baseline_rate = None
     baseline_loss = None
     vs_baseline = None
@@ -155,6 +273,18 @@ def main():
         "wall_clock_s": round(wall, 4),
         "final_loss": round(loss, 6),
         "sustained_iters_per_sec": round(sustained, 1),
+        # Scaling story (BENCHMARKS.md tables): large-batch throughput on
+        # the wider net, fraction of the v5e HBM roofline it achieves, the
+        # Taylor plan's win over nested-jvp in its regime, and the Burgers
+        # shock benchmark's relative L2 error vs the exact solution.
+        "large_batch_pts_per_sec": (round(large_pts, 0)
+                                    if large_pts else None),
+        "hbm_roofline_frac": round(roofline, 3) if roofline else None,
+        "plan_vs_fallback": round(plan_ratio, 2) if plan_ratio else None,
+        "burgers_rel_l2": (round(burgers_l2, 5)
+                           if burgers_l2 is not None else None),
+        "burgers_wall_s": (round(burgers_wall, 1)
+                           if burgers_wall is not None else None),
         "backend": backend,
         "baseline_iters_per_sec": round(baseline_rate, 1)
         if baseline_rate else None,
