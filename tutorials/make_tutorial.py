@@ -238,9 +238,32 @@ solver = Solver(pde, ..., n_models=8,
                 mesh=make_mesh(shape=(2, 4), axis_names=('models', 'data')))
 ```
 
+To scale past one host, each process joins the cluster and runs the same
+script over the global mesh (see `examples/18_distributed_data_parallel.py`):
+
+```python
+from pydens_tpu.parallel import distributed
+distributed.initialize()               # auto-detected on TPU pods
+solver = Solver(pde, ..., mesh=make_mesh())   # mesh spans ALL hosts
+```
+
 Checkpoint with `solver.save(path)` / `solver.load(path)`; resume an
 optimizer with `fit(optimizer=None)`; profile with
 `fit(profile_dir='/tmp/trace')`."""),
+    md("""## Production guardrails
+
+- A diverging fit (too-high learning rate, bad geometry batch) stops at
+  the first non-finite loss — device-side, so a long compiled dispatch
+  isn't burned — with a warning naming the iteration
+  (`fit(stop_on_nan=False)` to disable).
+- `predict` / `residual` / `predict_grad` pad their batch to a shape
+  bucket, so sweeping grid sizes never recompiles.
+- Equations may use plain `np.*` math on the coordinate symbols
+  (`np.cos(2 * np.pi * x)` stays symbolic and differentiable), the
+  `pdt.*` twins, or `import pydens_tpu.numpy as jnp` — all equivalent.
+- Long runs auto-checkpoint at chunk boundaries with
+  `fit(checkpoint_path='state.msgpack')`; a crashed run resumes with
+  `solver.load(...)` on a fresh process."""),
 ]
 
 
