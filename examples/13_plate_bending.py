@@ -45,8 +45,11 @@ def main():
     assert (0, 0, 1, 1) in solver._plan_derivs
     lt = {"equation": 1.0, "constraint_0": 5.0, "constraint_1": 5.0,
           "constraint_2": 5.0, "constraint_3": 5.0}
-    solver.fit(niters=2500, batch_size=512, lr=0.01, loss_terms=lt)
-    solver.fit(niters=150, batch_size=2048, optimizer="LBFGS",
+    # Budget trimmed round 3: 2500+150 measured err 0.0019 (26x under the
+    # assert) but convergence is steeply nonlinear in the Adam budget —
+    # 1000+80 measured err 0.058 (FAILS).  1600+120 keeps a real margin.
+    solver.fit(niters=1600, batch_size=512, lr=0.01, loss_terms=lt)
+    solver.fit(niters=120, batch_size=2048, optimizer="LBFGS",
                resample=False, loss_terms=lt)
 
     g = np.linspace(0, 1, 41)

@@ -66,10 +66,13 @@ def main():
                     layout="fa fa fa f", features=[48, 48, 48, 3],
                     activation="Tanh")
     assert solver._plan_ok  # the whole system is Taylor-planned
-    solver.fit(niters=2500, batch_size=1024, lr=2e-3,
+    # Budget sized to leave ~3x margin under the asserts (round-3 trim:
+    # 2500+800 iters measured errors 5-10x below tolerance — half the
+    # budget keeps a comfortable margin at half the wall time).
+    solver.fit(niters=1200, batch_size=1024, lr=2e-3,
                loss_terms={"equation": 1.0, "constraint_0": 10.0},
                progress=False)
-    solver.fit(niters=800, batch_size=2048, lr=3e-4,
+    solver.fit(niters=400, batch_size=2048, lr=3e-4,
                loss_terms={"equation": 1.0, "constraint_0": 10.0},
                progress=False)
 

@@ -79,8 +79,10 @@ def test_plan_equals_fallback_random_config(trial):
     loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
     pts = jax.random.uniform(jax.random.key(trial), (32, total)) * .8 + .1
     leaves = [pts[:, i:i + 1] for i in range(total)]
-    l1, g1 = jax.value_and_grad(loss_plan)(solver.model.params, leaves)
-    l2, g2 = jax.value_and_grad(loss_ref)(solver.model.params, leaves)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_plan))(solver.model.params,
+                                                    leaves)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_ref))(solver.model.params,
+                                                   leaves)
     np.testing.assert_allclose(float(l1), float(l2), rtol=5e-5,
                                err_msg=f"trial {trial}: {layout} {act}")
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):

@@ -21,8 +21,11 @@ def _diff_check(solver, total, tol=2e-5):
     pts = jax.random.uniform(jax.random.key(3), (64, total)) * 0.8 + 0.1
     leaves = [pts[:, i:i + 1] for i in range(total)]
     params = solver.model.params
-    l1, g1 = jax.value_and_grad(loss_plan)(params, leaves)
-    l2, g2 = jax.value_and_grad(loss_ref)(params, leaves)
+    # jitted: one fused XLA computation instead of thousands of eager CPU
+    # dispatches — measured 3x faster even counting the compile (the
+    # high-order closures have Bell-number many tiny ops).
+    l1, g1 = jax.jit(jax.value_and_grad(loss_plan))(params, leaves)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_ref))(params, leaves)
     np.testing.assert_allclose(float(l1), float(l2), rtol=tol)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
