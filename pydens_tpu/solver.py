@@ -468,7 +468,8 @@ class Solver:
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def _build_loss_fn(self, loss_terms, criterion, use_plan=False):
+    def _build_loss_fn(self, loss_terms, criterion, use_plan=False,
+                       causal=None):
         """Build the total-loss function.
 
         ``loss_terms`` is a tuple of ``(term_name, weight)`` pairs (weights
@@ -528,11 +529,14 @@ class Solver:
                        if eq_weight is not None else [])
                       + [(f"constraint_{num}", w) for num, w in nums])
 
-        def loss_fn(params, leaves, point_weight=None, term_weights=None):
+        def loss_fn(params, leaves, point_weight=None, term_weights=None,
+                    causal_eps=None):
             """Total loss; ``term_weights`` (a traced ``(n_terms,)`` vector)
             overrides the static per-term weights — the hook the grad-norm
             loss balancer uses (a one-hot vector isolates one term's
-            gradient)."""
+            gradient).  ``causal_eps`` is the (traced, runtime) causal
+            temperature — dynamic so annealing eps across fit calls never
+            recompiles."""
             with variable_scope("read", params["variables"]):
                 ctx = make_ctx(params, leaves)
                 f = Expr(lambda ls: model.apply(
@@ -540,7 +544,55 @@ class Solver:
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
                 terms = []
-                if eq_weight is not None:
+                if eq_weight is not None and causal is not None:
+                    # Causal weighting (Wang/Sankaran/Perdikaris-style):
+                    # partition the batch into M time bins; bin i's mean
+                    # squared residual L_i is down-weighted by
+                    # ``w_i = exp(-eps * sum_{j<i} L_j)`` so the optimizer
+                    # cannot satisfy late times before earlier ones are
+                    # solved — the classic failure mode of
+                    # advection-dominated PINNs.  Binning (vs per-point
+                    # cumsum) matches the literature and keeps the weights
+                    # smooth under minibatch noise.  The weights are
+                    # stop_gradient'ed (they schedule, not differentiate)
+                    # and the loss self-normalizes so its scale stays
+                    # comparable to plain MSE; eps=0 reduces exactly to the
+                    # MSE over bin means.  The exact-IC ansatz anchors t0,
+                    # which the scheme assumes.
+                    t_idx, t_lo, t_hi = causal
+                    eps = causal_eps
+                    n_bins = 32
+                    n_pts = leaves[0].shape[0]
+                    sq = jnp.zeros((n_pts,), dtype)
+                    for res in _as_residual_list(equation(f, *coords)):
+                        res = as_array(res)
+                        sq = sq + jnp.sum(res * res, axis=1)
+                    tcol = (leaves[t_idx][:, 0] - t_lo) / (t_hi - t_lo)
+                    bins = jnp.clip((tcol * n_bins).astype(jnp.int32),
+                                    0, n_bins - 1)
+                    sums = jax.ops.segment_sum(sq, bins, n_bins)
+                    counts = jax.ops.segment_sum(
+                        jnp.ones_like(sq), bins, n_bins)
+                    L = sums / jnp.maximum(counts, 1.0)
+                    cum = jnp.concatenate([jnp.zeros((1,), dtype),
+                                           jnp.cumsum(L)[:-1]])
+                    # Scale-free temperature: normalize the cumulative
+                    # residual by its total, so ``w`` spans ~[exp(-eps), 1]
+                    # regardless of the equation's raw residual magnitude
+                    # (raw-scale eps collapses all but the first bin when
+                    # residuals are O(100) — measured).  As early bins
+                    # converge their share of the total shrinks, so the
+                    # causal front advances automatically.
+                    cum = cum / jnp.maximum(cum[-1] + L[-1], 1e-30)
+                    w = jax.lax.stop_gradient(jnp.exp(-eps * cum))
+                    # Apply the bin weight per point and self-normalize:
+                    # keeps per-point SGD semantics and reduces EXACTLY to
+                    # the plain MSE at eps=0 (w == 1), so eps can be
+                    # annealed against an MSE-comparable loss scale.
+                    w_pt = w[bins]
+                    terms.append(jnp.sum(w_pt * sq)
+                                 / jnp.maximum(jnp.sum(w_pt), 1e-30))
+                elif eq_weight is not None:
                     # The equation may return one residual or a tuple/list of
                     # coupled residuals (systems of equations — a superset of
                     # the scalar-only reference).
@@ -601,6 +653,7 @@ class Solver:
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
                cfg["use_plan"], cfg["balance_every"], cfg["stop_on_nan"],
+               cfg["causal"],
                # The fused-Taylor decision happens at trace time inside the
                # model; key the EFFECTIVE toggle (reachable only on the plan
                # path, and only the exact value 'always' turns it on —
@@ -613,7 +666,8 @@ class Solver:
             return self._step_cache[key]
 
         loss_fn, point_residual = self._build_loss_fn(
-            cfg["loss_terms"], cfg["criterion"], use_plan=cfg["use_plan"])
+            cfg["loss_terms"], cfg["criterion"], use_plan=cfg["use_plan"],
+            causal=cfg["causal"])
         balance_every = cfg["balance_every"]
         n_terms = len(loss_fn.term_order)
         static_weights = np.asarray([w for _, w in loss_fn.term_order],
@@ -651,16 +705,18 @@ class Solver:
         flatten_spec = self._flatten_spec()
         n_models = self.n_models
 
-        def flat_loss(theta, leaves, point_weight=None, term_weights=None):
+        def flat_loss(theta, leaves, point_weight=None, term_weights=None,
+                      ceps=None):
             return loss_fn(_unflatten(flatten_spec, theta), leaves,
-                           point_weight, term_weights)
+                           point_weight, term_weights, ceps)
 
         def flat_residual(theta, leaves):
             return point_residual(_unflatten(flatten_spec, theta), leaves)
 
         stop_on_nan = cfg["stop_on_nan"]
 
-        def run_chunk(carry, base_key, start, fit_start, n, host_pts):
+        def run_chunk(carry, base_key, start, fit_start, n, host_pts,
+                      causal_eps):
             """Run ``n <= chunk`` training steps; returns the new carry, a
             ``(chunk,)`` loss buffer and the number of iterations actually
             run (< ``n`` only when the divergence guard tripped — its first
@@ -704,11 +760,11 @@ class Solver:
                     one_hot = jnp.zeros((n_terms,), dtype).at[j].set(1.0)
                     if n_models > 1:
                         g = jax.vmap(jax.grad(flat_loss),
-                                     in_axes=(0, None, None, None))(
-                            theta, leaves, point_weight, one_hot)
+                                     in_axes=(0, None, None, None, None))(
+                            theta, leaves, point_weight, one_hot, causal_eps)
                     else:
                         g = jax.grad(flat_loss)(theta, leaves, point_weight,
-                                                one_hot)
+                                                one_hot, causal_eps)
                     if not all_trainable:
                         g = g * mask_vec
                     norms.append(jnp.mean(jnp.abs(g)))
@@ -805,12 +861,12 @@ class Solver:
                     # recorded is the ensemble mean.
                     loss_k, grad = jax.vmap(
                         jax.value_and_grad(flat_loss),
-                        in_axes=(0, None, None, None))(
-                        theta, leaves, point_weight, wts)
+                        in_axes=(0, None, None, None, None))(
+                        theta, leaves, point_weight, wts, causal_eps)
                     loss = jnp.mean(loss_k)
                 else:
                     loss, grad = jax.value_and_grad(flat_loss)(
-                        theta, leaves, point_weight, wts)
+                        theta, leaves, point_weight, wts, causal_eps)
                 if not all_trainable:
                     grad = grad * mask_vec
                 if needs_value_fn:
@@ -824,14 +880,16 @@ class Solver:
                             return opt.update(
                                 g_k, os_k, th_k, value=v_k, grad=g_k,
                                 value_fn=lambda th: flat_loss(
-                                    th, leaves, point_weight))
+                                    th, leaves, point_weight,
+                                    ceps=causal_eps))
                         updates, opt_state = jax.vmap(upd)(
                             theta, grad, opt_state, loss_k)
                     else:
                         updates, opt_state = opt.update(
                             grad, opt_state, theta, value=loss, grad=grad,
                             value_fn=lambda th: flat_loss(th, leaves,
-                                                          point_weight))
+                                                          point_weight,
+                                                          ceps=causal_eps))
                 else:
                     updates, opt_state = opt.update(grad, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
@@ -886,7 +944,7 @@ class Solver:
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
             adaptive=None, fast_taps="auto", callback=None,
             loss_balancing=None, checkpoint_path=None, checkpoint_every=None,
-            stop_on_nan=True, **kwargs):
+            stop_on_nan=True, causal=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -934,6 +992,19 @@ class Solver:
         constraints whose gradients vanish (measured in BENCHMARKS.md).
         The starting weights are the ``loss_terms`` values; the learned
         weights land in ``history[-1]['balanced_weights']``.
+
+        ``causal=eps`` (float > 0) enables causal training for stiff
+        time-dependent problems: within each batch, a point's squared
+        residual is down-weighted by ``exp(-eps * cumulative mean residual
+        at earlier times)``, so the optimizer must satisfy the PDE near
+        ``t0`` (where the ansatz binds the initial condition exactly)
+        before later times — the standard cure for advection-dominated
+        problems where plain MSE converges to a trivial late-time
+        solution.  Requires an ``initial_condition`` (the time axis is the
+        last variable column, as in the ansatz), the ``'equation'`` loss
+        term with the MSE criterion, and is exclusive with ``adaptive``.
+        ``causal=0.0`` is exactly plain MSE (tested), so ``eps`` can be
+        annealed across fit calls.
 
         ``stop_on_nan=True`` (the default) arms a divergence guard: the
         compiled loop checks each iteration's loss device-side and exits at
@@ -1035,6 +1106,32 @@ class Solver:
                                  "equation residual; include 'equation' in "
                                  "loss_terms")
 
+        causal_eps = 0.0
+        if causal is not None:
+            causal_eps = float(causal)
+            if causal_eps < 0:
+                raise ValueError("causal must be a float >= 0 (the "
+                                 "causal-weighting temperature eps)")
+            if self.model.initial_condition is None:
+                raise ValueError(
+                    "causal training needs a time axis — construct the "
+                    "Solver with an initial_condition (time is the last "
+                    "variable column, as in the ansatz)")
+            if "equation" not in dict(loss_terms):
+                raise ValueError("causal training weights the equation "
+                                 "residual; include 'equation' in "
+                                 "loss_terms")
+            if criterion_key not in ("mseloss", "mse"):
+                raise ValueError("causal training is defined for the MSE "
+                                 "criterion")
+            if adaptive is not None:
+                raise ValueError("causal and adaptive sampling both "
+                                 "reweight the equation residual — use one")
+            t_lo, t_hi = self.model.domain[self.model.ndims - 1]
+            # Static part (bin axis + bounds) keys the compile; eps itself
+            # is a runtime scalar so annealing it never recompiles.
+            causal = (self.model.ndims - 1, float(t_lo), float(t_hi))
+
         balance_every = 0
         if loss_balancing:
             balance_every = (100 if loss_balancing is True
@@ -1068,7 +1165,7 @@ class Solver:
                    sampler=sampler, sampler_key=sampler_key,
                    resample=bool(resample), adaptive=adaptive,
                    balance_every=balance_every, stop_on_nan=bool(stop_on_nan),
-                   needs_value_fn=self._opt_needs_value_fn)
+                   causal=causal, needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
             theta, self._opt_state = prep(self.model.params)
@@ -1139,7 +1236,8 @@ class Solver:
                 host_pts = np.float32(0.0)  # unused placeholder
             carry, chunk_losses, iters_done = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
-                np.int32(self._step_counter), np.int32(n), host_pts)
+                np.int32(self._step_counter), np.int32(n), host_pts,
+                np.float32(causal_eps))
             return carry, chunk_losses, n, iters_done
 
         if balance_every:

@@ -1,0 +1,64 @@
+"""Causal training (`fit(causal=eps)`): time-ordered residual weighting
+for stiff time-dependent problems.  eps=0 must reduce EXACTLY to plain MSE;
+validation must reject configurations the scheme is undefined for."""
+
+import numpy as np
+import pytest
+
+import pydens_tpu as pdt
+from pydens_tpu import Solver, D
+
+
+def _convection(c):
+    def eq(f, x, t):
+        return D(f, t) + c * D(f, x)
+    return eq
+
+
+def _solver(c=4.0, seed=0, **kw):
+    return Solver(_convection(c), ndims=2, seed=seed, periodic=(0,),
+                  initial_condition=lambda x: pdt.sin(2 * np.pi * x),
+                  activation="Tanh", layout="fa fa f",
+                  features=[24, 24, 1], **kw)
+
+
+def test_causal_zero_equals_plain_mse():
+    # w == 1 at eps=0 and the self-normalized loss is exactly the MSE, so
+    # the whole training trajectory must match the plain path bit-for-eps.
+    a = _solver()
+    a.fit(niters=60, batch_size=128, progress=False)
+    b = _solver()
+    b.fit(niters=60, batch_size=128, causal=0.0, progress=False)
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-5, atol=1e-7)
+
+
+def test_causal_fit_runs_and_converges():
+    # NB: the RECORDED loss is the causally-weighted one, which may rise as
+    # the weights shift toward harder late times — progress is measured on
+    # the unweighted residual instead.
+    s = _solver()
+    rng = np.random.default_rng(0)
+    grid = rng.uniform(0, 1, (512, 2)).astype(np.float32)
+    before = float(np.mean(s.residual(grid)))
+    s.fit(niters=300, batch_size=256, lr=2e-3, causal=5.0, progress=False)
+    assert np.isfinite(s.losses).all()
+    after = float(np.mean(s.residual(grid)))
+    assert after < 0.5 * before, (before, after)
+
+
+def test_causal_validation_errors():
+    no_time = Solver(lambda f, x: D(f, x) - 1.0, ndims=1, seed=0)
+    with pytest.raises(ValueError, match="time axis"):
+        no_time.fit(niters=1, batch_size=8, causal=1.0, progress=False)
+    s = _solver()
+    with pytest.raises(ValueError, match="MSE"):
+        s.fit(niters=1, batch_size=8, causal=1.0, criterion="l1",
+              progress=False)
+    with pytest.raises(ValueError, match="one"):
+        s.fit(niters=1, batch_size=8, causal=1.0, adaptive=4, progress=False)
+    with pytest.raises(ValueError, match=">= 0"):
+        s.fit(niters=1, batch_size=8, causal=-1.0, progress=False)
+    with pytest.raises(ValueError, match="equation"):
+        s2 = _solver(constraints=lambda f, x, t: f(0.0, t) - 1.0)
+        s2.fit(niters=1, batch_size=8, causal=1.0,
+               loss_terms=["constraint_0"], progress=False)

@@ -20,7 +20,8 @@ FAST = {"01_simple_ode.py", "05_inverse_problem.py", "06_custom_model.py",
 # automatically on TPU in every `bench.py` round (burgers_rel_l2); the
 # distributed demo's behavior is proven by tests/test_distributed.py (its
 # own 2-process run) — re-spawning it here would double that cost.
-TPU_ONLY = {"16_burgers_shock.py", "18_distributed_data_parallel.py"}
+TPU_ONLY = {"16_burgers_shock.py", "18_distributed_data_parallel.py",
+            "20_causal_convection.py"}
 
 
 def _run(path):
