@@ -46,6 +46,13 @@ def test_causal_fit_runs_and_converges():
     assert after < 0.5 * before, (before, after)
 
 
+def test_causal_composes_with_mesh_and_ensemble():
+    from pydens_tpu.parallel import make_mesh
+    s = _solver(mesh=make_mesh(), n_models=2)
+    s.fit(niters=10, batch_size=64, causal=5.0, progress=False)
+    assert np.isfinite(s.losses).all()
+
+
 def test_causal_validation_errors():
     no_time = Solver(lambda f, x: D(f, x) - 1.0, ndims=1, seed=0)
     with pytest.raises(ValueError, match="time axis"):
