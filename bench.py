@@ -150,6 +150,7 @@ def bench_burgers():
     """Run the Burgers shock example end-to-end (examples/16, its own
     internal asserts included) and report the relative L2 error vs the
     Cole-Hopf exact solution — the automated backing for the README claim."""
+    import contextlib
     import importlib.util
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -158,7 +159,10 @@ def bench_burgers():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     t0 = time.perf_counter()
-    solver = mod.main()  # asserts worst < 0.08, rel_l2 < 0.01 internally
+    with contextlib.redirect_stdout(sys.stderr):
+        # stdout must stay ONE JSON line; the example's progress prints
+        # go to stderr.
+        solver = mod.main()  # asserts worst < 0.08, rel_l2 < 0.01
     wall = time.perf_counter() - t0
     xs = np.linspace(-1, 1, 401)
     preds, trues = [], []
