@@ -561,9 +561,14 @@ class Model:
             x = xs[0]
             if hasattr(x, "detach"):  # torch tensor
                 x = x.detach().cpu().numpy()
-            xs_concat = np.asarray(x, np.float32)
+            xs_concat = np.asarray(x)
         else:
             xs_concat = Solver.reshape_and_concat(xs)
+        # Same dtype normalization as Solver._normalize_inputs — a float32
+        # input to a non-f32 model would compile a second executable for
+        # the same shape bucket and diverge numerically from predict().
+        xs_concat = np.asarray(xs_concat,
+                               jax.dtypes.canonicalize_dtype(self.dtype))
         out = self.predict_apply(self.params, xs_concat)
         if self.ensemble_size > 1:
             out = out.mean(axis=0)

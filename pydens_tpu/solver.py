@@ -566,7 +566,13 @@ class Solver:
                     sq = jnp.zeros((n_pts,), dtype)
                     for res in _as_residual_list(equation(f, *coords)):
                         res = as_array(res)
-                        sq = sq + jnp.sum(res * res, axis=1)
+                        # Per-component MEAN (not sum): keeps eps=0 equal
+                        # to the plain MSE path for vector-valued
+                        # residuals too (the criterion averages over
+                        # elements, so a sum here would scale the loss by
+                        # n_out and silently change the effective lr when
+                        # toggling causal).
+                        sq = sq + jnp.mean(res * res, axis=1)
                     tcol = (leaves[t_idx][:, 0] - t_lo) / (t_hi - t_lo)
                     bins = jnp.clip((tcol * n_bins).astype(jnp.int32),
                                     0, n_bins - 1)
@@ -877,10 +883,15 @@ class Solver:
                         # linesearch included) vmaps over the ensemble
                         # axis, so each member picks its own step size.
                         def upd(th_k, g_k, os_k, v_k):
+                            # wts is always None here today (fit rejects
+                            # loss_balancing with linesearch optimizers),
+                            # but the value_fn must evaluate the SAME
+                            # objective as the seeding value/grad if that
+                            # guard is ever lifted.
                             return opt.update(
                                 g_k, os_k, th_k, value=v_k, grad=g_k,
                                 value_fn=lambda th: flat_loss(
-                                    th, leaves, point_weight,
+                                    th, leaves, point_weight, wts,
                                     ceps=causal_eps))
                         updates, opt_state = jax.vmap(upd)(
                             theta, grad, opt_state, loss_k)
@@ -888,7 +899,7 @@ class Solver:
                         updates, opt_state = opt.update(
                             grad, opt_state, theta, value=loss, grad=grad,
                             value_fn=lambda th: flat_loss(th, leaves,
-                                                          point_weight,
+                                                          point_weight, wts,
                                                           ceps=causal_eps))
                 else:
                     updates, opt_state = opt.update(grad, opt_state, theta)
@@ -901,7 +912,7 @@ class Solver:
             if not stop_on_nan:
                 out_carry, losses = jax.lax.fori_loop(
                     jnp.int32(0), jnp.int32(n), body, (carry, losses))
-                return out_carry, losses, jnp.int32(n)
+                return out_carry, losses, jnp.int32(n), jnp.bool_(True)
 
             # Divergence guard, device-side: the trip count is dynamic
             # anyway (fori_loop with a traced `n` lowers to a while loop),
@@ -918,10 +929,13 @@ class Solver:
                 s = body(i, s)
                 return i + jnp.int32(1), s, jnp.isfinite(s[1][i])
 
-            done, (out_carry, losses), _ = jax.lax.while_loop(
+            # `ok` must be returned too: a non-finite loss on the chunk's
+            # LAST iteration exits with done == n, indistinguishable from
+            # clean completion by the count alone.
+            done, (out_carry, losses), ok = jax.lax.while_loop(
                 wcond, wbody,
                 (jnp.int32(0), (carry, losses), jnp.bool_(True)))
-            return out_carry, losses, done
+            return out_carry, losses, done, ok
 
         def prep(params):
             """Flatten params and build optimizer state in one jitted call —
@@ -1234,11 +1248,11 @@ class Solver:
                     host_pts = jnp.asarray(pts)
             else:
                 host_pts = np.float32(0.0)  # unused placeholder
-            carry, chunk_losses, iters_done = run_chunk(
+            carry, chunk_losses, iters_done, chunk_ok = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(self._step_counter), np.int32(n), host_pts,
                 np.float32(causal_eps))
-            return carry, chunk_losses, n, iters_done
+            return carry, chunk_losses, n, iters_done, chunk_ok
 
         if balance_every:
             # Initial weights in the step's term order (equation first,
@@ -1295,11 +1309,11 @@ class Solver:
                     # `carry` must be reassigned before the callback can
                     # raise: the previous carry's buffers were donated to
                     # the device call and are dead.
-                    carry, chunk_losses, n, iters_done = \
+                    carry, chunk_losses, n, iters_done, chunk_ok = \
                         run_one_chunk(carry, start)
                     if stop_on_nan:
                         done = int(iters_done)  # syncs with the device
-                        if done < n:
+                        if done < n or not bool(chunk_ok):
                             # Diverged: the compiled loop exited at the
                             # first non-finite loss (index done-1 of this
                             # chunk).  Keep the partial history, skip the

@@ -46,6 +46,26 @@ def test_causal_fit_runs_and_converges():
     assert after < 0.5 * before, (before, after)
 
 
+def test_causal_zero_equals_plain_mse_for_systems():
+    # Vector-valued residuals: the per-point squared residual must MEAN
+    # over components (as the MSE criterion does), or eps=0 would scale
+    # the loss by n_out (round-3 review finding).
+    def system(f, x, t):
+        u, v = f[:, 0:1], f[:, 1:2]
+        return (D(u, t) + D(v, x), D(v, t) + D(u, x))
+
+    def mk():
+        return Solver(system, ndims=2, seed=0,
+                      initial_condition=np.array([0.0, 1.0]),
+                      activation="Tanh", layout="fa f", features=[16, 2])
+
+    a = mk()
+    a.fit(niters=40, batch_size=64, progress=False)
+    b = mk()
+    b.fit(niters=40, batch_size=64, causal=0.0, progress=False)
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-5, atol=1e-7)
+
+
 def test_causal_composes_with_mesh_and_ensemble():
     from pydens_tpu.parallel import make_mesh
     s = _solver(mesh=make_mesh(), n_models=2)

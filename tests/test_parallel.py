@@ -149,7 +149,7 @@ def test_mesh_carry_shardings():
     s1 = Solver(_ode, ndims=1, initial_condition=.5, mesh=make_mesh(), seed=0)
     s1.fit(niters=1, batch_size=64, progress=False)
     run_chunk, args = _compiled_chunk(s1)
-    (theta, _), _, _ = run_chunk(*args)
+    (theta, _), *_ = run_chunk(*args)
     assert theta.sharding.spec == P()
 
     mesh2 = make_mesh(shape=(2, 4), axis_names=("models", "data"))
@@ -157,6 +157,6 @@ def test_mesh_carry_shardings():
                 n_models=4)
     s2.fit(niters=1, batch_size=64, progress=False)
     run_chunk2, args2 = _compiled_chunk(s2)
-    (theta2, _), _, _ = run_chunk2(*args2)
+    (theta2, _), *_ = run_chunk2(*args2)
     assert theta2.sharding.spec == P("models")
     assert "all-reduce" in run_chunk2.lower(*args2).compile().as_text()

@@ -200,6 +200,22 @@ def test_finite_fit_unaffected_by_guard():
     assert solver.losses[-1] < 1e-2
 
 
+def test_diverging_fit_stops_with_chunk_size_one():
+    # Regression (round-3 review): a non-finite loss on a chunk's LAST
+    # iteration exits the device loop with done == n — with chunk_size=1
+    # EVERY iteration is a chunk's last, so the count alone can never
+    # signal divergence; the returned ok flag must.
+    solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        solver.fit(niters=50, batch_size=16, optimizer="SGD", lr=1e10,
+                   chunk_size=1, progress=False)
+    assert any("non-finite loss" in str(w.message) for w in caught)
+    assert "stopped_on_nan" in solver.history[-1]
+    assert len(solver.losses) < 10
+    assert not np.isfinite(solver.losses[-1])
+
+
 def test_stop_on_nan_false_runs_to_completion():
     solver = Solver(_ode, ndims=1, initial_condition=.5, seed=0)
     solver.fit(niters=50, batch_size=16, optimizer="SGD", lr=1e10,
