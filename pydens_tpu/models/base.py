@@ -137,7 +137,14 @@ class Model:
                 f"{type(self).__name__} does not support periodic= — "
                 "use ConvBlockModel or implement the embedding in your "
                 "model body")
-        _ = kwargs
+        if kwargs:
+            # A typo'd Solver kwarg (e.g. activaton=) would otherwise train
+            # silently with the default setting.
+            raise ValueError(
+                f"{type(self).__name__} got unknown keyword argument(s) "
+                f"{sorted(kwargs)} — check the spelling against the model's "
+                "constructor (layout/features/units/activation/periodic/"
+                "dtype/...)")
         self.ndims = ndims
         self.ndims_spatial = ndims if initial_condition is None else ndims - 1
         self.nparams = nparams

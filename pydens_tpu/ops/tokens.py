@@ -260,6 +260,18 @@ class Expr:
     def __ge__(self, o):
         return self.value >= _materialize(o)
 
+    # Equality must be elementwise like the four ordering comparisons —
+    # the object.__eq__ identity fallback would make `where(x == 0, a, b)`
+    # silently pick `b` everywhere.
+    def __eq__(self, o):
+        return self.value == _materialize(o)
+
+    def __ne__(self, o):
+        return self.value != _materialize(o)
+
+    # Defining __eq__ clears __hash__; Exprs still hash by identity.
+    __hash__ = object.__hash__
+
 
 def _materialize(x):
     return x.value if isinstance(x, Expr) else x

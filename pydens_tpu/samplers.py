@@ -671,7 +671,17 @@ class MappedSampler(Sampler):
     def __init__(self, base, fn):
         self.base = base
         self.fn = fn
-        self.ndims = base.ndims
+        # Discover the mapped width NOW: compositions built before the
+        # first draw (truncate, mixtures, products) capture ndims at
+        # construction, so a lazily-discovered width would leave them
+        # validating/allocating against the base sampler's.  Probe with a
+        # domain-plausible dummy (zeros), falling back to a real 1-point
+        # draw for fns that reject it.
+        try:
+            probe = np.asarray(fn(np.zeros((1, base.ndims), np.float32)))
+        except Exception:
+            probe = np.asarray(fn(base.sample(1)))
+        self.ndims = int(probe.shape[-1])
 
     def sample(self, size):
         out = np.asarray(self.fn(self.base.sample(size)))

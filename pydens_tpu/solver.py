@@ -490,8 +490,18 @@ class Solver:
         dtype = model.dtype
         plan_derivs = self._plan_derivs if use_plan else None
         eq_weight = dict(loss_terms).get("equation")
-        nums = [(int(term.replace("constraint", "").replace("_", "")), w)
-                for term, w in loss_terms if "constraint" in term]
+        import re
+        nums = []
+        for term, w in loss_terms:
+            if "constraint" not in term:
+                continue  # reference quirk: unknown non-constraint names
+                #           in the list form are silently dropped
+            m = re.fullmatch(r"constraint_?(\d+)", term)
+            if m is None:
+                raise ValueError(
+                    f"malformed loss term {term!r}; expected "
+                    "'constraint_<k>' (e.g. 'constraint_0')")
+            nums.append((int(m.group(1)), w))
         for num, _ in nums:
             if num >= len(constraints):
                 raise ValueError(
@@ -785,7 +795,10 @@ class Solver:
                 lam = jnp.clip(lam, 0.01 * static_weights[anchor_idx],
                                100.0 * static_weights[anchor_idx])
                 lam = lam.at[anchor_idx].set(static_weights[anchor_idx])
-                return 0.7 * wts + 0.3 * lam
+                # Cast back: norms x np.float32 weights promote to f32,
+                # and lax.cond requires both branches to return identical
+                # avals (non-f32 models would crash at trace time).
+                return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
 
             def body(i, state):
                 if balance_every:
@@ -1119,6 +1132,13 @@ class Solver:
                 raise ValueError("adaptive sampling ranks points by the "
                                  "equation residual; include 'equation' in "
                                  "loss_terms")
+            if (isinstance(criterion_key, str)
+                    and criterion_key not in ("mseloss", "mse")):
+                raise ValueError(
+                    "adaptive importance weights scale the residual by "
+                    "sqrt(w), which keeps only the MSE criterion unbiased; "
+                    "use criterion='MSELoss' (or a custom callable you "
+                    "know composes with sqrt-weighting)")
 
         causal_eps = 0.0
         if causal is not None:
@@ -1168,7 +1188,11 @@ class Solver:
         chunk = max(1, min(niters, int(chunk_size)))
         use_plan = bool(self._plan_ok) and fast_taps not in (False, "never")
         if use_plan and fast_taps == "auto":
-            use_plan = self._auto_use_plan(batch_size)
+            # Adaptive sampling runs the planned residual over the FULL
+            # candidate pool each iteration, so the bandwidth-regime
+            # decision must size by the oversampled batch.
+            use_plan = self._auto_use_plan(
+                int(batch_size) * (adaptive if adaptive else 1))
         mask = self.model.trainable_mask(self.model.params)
         cfg = dict(batch_size=int(batch_size), chunk=chunk,
                    loss_terms=loss_terms, use_plan=use_plan,
@@ -1360,15 +1384,21 @@ class Solver:
         finally:
             # Commit whatever completed — a raising callback (or any other
             # mid-fit error at a chunk boundary) must not discard the
-            # trained state.
+            # trained state.  If run_chunk itself raised mid-dispatch, the
+            # bound carry is the DONATED (deleted) input — touching it
+            # would mask the real error with 'array has been deleted';
+            # leave the pre-chunk parameters in place instead.
             self._step_counter += iters_run
             balanced_weights = None
-            if balance_every:
-                theta, self._opt_state, wts = carry
-                balanced_weights = np.asarray(wts).tolist()
-            else:
-                theta, self._opt_state = carry
-            self.model.params = self._unflatten_jit(theta)
+            donated_dead = (isinstance(carry[0], jax.Array)
+                            and carry[0].is_deleted())
+            if not donated_dead:
+                if balance_every:
+                    theta, self._opt_state, wts = carry
+                    balanced_weights = np.asarray(wts).tolist()
+                else:
+                    theta, self._opt_state = carry
+                self.model.params = self._unflatten_jit(theta)
             self.losses.extend(drain_losses())
 
         fit_losses = np.asarray(fit_losses_list, np.float32)

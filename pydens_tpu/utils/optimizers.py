@@ -101,9 +101,14 @@ def resolve_optimizer(name, lr, kwargs):
     any callable ``f(learning_rate=...) -> GradientTransformation``.
     """
     if isinstance(name, optax.GradientTransformation):
-        return name, False
+        # ExtraArgs transforms (optax.lbfgs() and friends) need
+        # value/grad/value_fn at update time — route them through the
+        # linesearch path; their update ignores unused extra args, so the
+        # broad test is safe.
+        return name, isinstance(name, optax.GradientTransformationExtraArgs)
     if callable(name) and not isinstance(name, str):
-        return name(learning_rate=lr, **kwargs), False
+        built = name(learning_rate=lr, **kwargs)
+        return built, isinstance(built, optax.GradientTransformationExtraArgs)
     key = str(name).lower()
     if key not in _OPTIMIZERS:
         raise ValueError(f"unknown optimizer {name!r}; "
