@@ -595,7 +595,8 @@ class ConvBlockModel(Model):
     def __init__(self, ndims, initial_condition=None, boundary_condition=None,
                  domain=(0, 1), nparams=0, layout="fafaf",
                  features=(20, 30, 1), activation="Sigmoid", units=None,
-                 dtype=jnp.float32, periodic=None, **kwargs):
+                 dtype=jnp.float32, periodic=None, fourier_features=None,
+                 **kwargs):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
@@ -622,7 +623,51 @@ class ConvBlockModel(Model):
             raise ValueError(
                 "boundary_condition has no effect when every spatial "
                 "dimension is periodic — drop one of the two")
-        in_dim = self.total + len(self.periodic_dims)
+        # Random Fourier features (Tancik et al.-style): append
+        # [sin(2 pi B v), cos(2 pi B v)] of the selected raw columns with a
+        # FIXED Gaussian frequency matrix B ~ N(0, sigma^2) — the standard
+        # cure for spectral bias (a tanh MLP on raw coordinates cannot
+        # learn high-frequency solution content at trainable speed; the
+        # measured case is advection at c >= 10, BENCHMARKS.md).  The raw
+        # columns are kept alongside so low-frequency behavior is
+        # unchanged.  Spelling: m, (m, sigma), or dict(m=, sigma=, dims=);
+        # default sigma 10.0, default dims = every non-periodic input
+        # column.  B is deterministic (seeded) so checkpoints reload
+        # against an identical embedding.
+        self._rff_b = None
+        self._rff_dims = ()
+        if fourier_features is not None:
+            if isinstance(fourier_features, dict):
+                m = int(fourier_features["m"])
+                sigma = float(fourier_features.get("sigma", 10.0))
+                dims = fourier_features.get("dims")
+            elif isinstance(fourier_features, (tuple, list)):
+                m, sigma = int(fourier_features[0]), float(fourier_features[1])
+                dims = None
+            else:
+                m, sigma, dims = int(fourier_features), 10.0, None
+            if dims is None:
+                dims = tuple(i for i in range(self.total)
+                             if i not in self.periodic_dims)
+            dims = tuple(sorted(int(d) for d in dims))
+            for d in dims:
+                if not 0 <= d < self.total:
+                    raise ValueError(f"fourier_features dim {d} out of "
+                                     f"range for {self.total} input columns")
+                if d in self.periodic_dims:
+                    raise ValueError(
+                        f"dim {d} is periodic — random Fourier features of "
+                        "the raw value would break the exact periodicity; "
+                        "drop it from fourier_features dims")
+            if m < 1 or not dims:
+                raise ValueError("fourier_features needs m >= 1 and at "
+                                 "least one input dim")
+            rng = np.random.default_rng(20240317)
+            self._rff_b = np.asarray(rng.normal(0.0, sigma, (m, len(dims))),
+                                     np.float32)
+            self._rff_dims = dims
+        in_dim = (self.total + len(self.periodic_dims)
+                  + (0 if self._rff_b is None else 2 * self._rff_b.shape[0]))
 
         self._net_init, self._net_apply, self.layer_names = \
             make_layout_network(layout, self.features, activation,
@@ -636,8 +681,9 @@ class ConvBlockModel(Model):
             self.network_apply_taylor = None
 
     def _embed(self, xs):
-        """Input embedding: periodic dims expand to (sin, cos) pairs."""
-        if not self.periodic_dims:
+        """Input embedding: periodic dims expand to (sin, cos) pairs;
+        random Fourier features append after the raw columns."""
+        if not self.periodic_dims and self._rff_b is None:
             return xs
         cols = []
         for i in range(self.total):
@@ -650,6 +696,12 @@ class ConvBlockModel(Model):
                 cols.append(jnp.cos(phase))
             else:
                 cols.append(xi)
+        if self._rff_b is not None:
+            v = jnp.concatenate([xs[:, d:d + 1] for d in self._rff_dims],
+                                axis=1)
+            proj = (2.0 * np.pi) * (v @ self._rff_b.T)
+            cols.append(jnp.sin(proj))
+            cols.append(jnp.cos(proj))
         return jnp.concatenate(cols, axis=1)
 
     def network_init(self, key):
@@ -663,9 +715,9 @@ class ConvBlockModel(Model):
         if fused is not None:
             return fused(net_params, self._embed(xs))
         init = None
-        if self.periodic_dims:
+        if self.periodic_dims or self._rff_b is not None:
             # Taylor state of the embedding w.r.t. the original coordinates
-            # (cheap elementwise jvp taps, any order), fed into the network
+            # (cheap smooth jvp taps, any order), fed into the network
             # traversal.
             def e(a):
                 return jnp.zeros_like(xs).at[:, a].set(1.0)
@@ -690,7 +742,8 @@ class ConvBlockModel(Model):
         mode = os.environ.get("PYDENS_TPU_FUSED_TAYLOR", "never")
         if mode != "always" or self.ensemble_size > 1:
             return None
-        if self.dtype != jnp.float32 or self.periodic_dims:
+        if (self.dtype != jnp.float32 or self.periodic_dims
+                or self._rff_b is not None):
             return None
         key = tuple(closure)
         if key not in self._fused_taylor_cache:
