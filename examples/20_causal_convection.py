@@ -16,8 +16,12 @@ scalar, so annealing it across fit calls reuses one compiled step.
 
 Measured on one v5e chip at c = 4 (this script's config, equal 40k-iter
 budget): plain rel-L2 0.48 vs causal 0.15 — a 3.3x accuracy win from
-scheduling alone.  At c >= 10 both need substantially more
-capacity/budget (recorded honestly in BENCHMARKS.md).
+scheduling alone.  At c >= 10 the bottleneck becomes spectral, not
+causal: the solution sin(2*pi*(x - c*t)) oscillates c times along t, and
+a raw-coordinate tanh MLP can't represent that at any budget.  Random
+Fourier features on the t column fix it (``main(C=10)``): rel-L2 0.034
+at the same 40k budget, and c=30 reaches 0.0245 at 240k iters — full
+sweep in BENCHMARKS.md "Follow-up (RFF lands)".
 
 NOTE: CPU-suite budget is far below where the effect materializes
 (tests/test_examples.py TPU_ONLY); the suite still covers the machinery
@@ -33,14 +37,19 @@ from pydens_tpu import Solver, D
 C = 4.0
 
 
-def main():
+def main(C=C):
     def convection(f, x, t):
         return D(f, t) + C * D(f, x)
 
+    # At high c the t-axis content is high-frequency: add random Fourier
+    # features on t (x keeps its exact periodic embedding — RFF dims
+    # default to the non-periodic columns).  sigma ~ the dominant
+    # t-frequency, NOT above it (measured, BENCHMARKS.md).
+    rff = None if C <= 4 else (32, float(C))
     solver = Solver(convection, ndims=2, seed=0, periodic=(0,),
                     initial_condition=lambda x: pdt.sin(2 * np.pi * x),
                     activation="Tanh", layout="fa fa fa f",
-                    features=[64, 64, 64, 1])
+                    features=[64, 64, 64, 1], fourier_features=rff)
     # Anneal the causal temperature; eps is dynamic — one compile total.
     solver.fit(niters=20000, batch_size=2048, lr=1e-3, causal=5.0,
                chunk_size=20000, progress=False)
@@ -53,7 +62,7 @@ def main():
     pred = solver.predict(X.ravel(), T.ravel()).ravel()
     true = np.sin(2 * np.pi * (X - C * T)).ravel()
     rel = np.linalg.norm(pred - true) / np.linalg.norm(true)
-    print(f"causal rel_l2 = {rel:.4f}  (plain at this budget: ~0.48)")
+    print(f"c={C} causal rel_l2 = {rel:.4f}")
     assert rel < 0.25, rel
     return solver
 
