@@ -19,9 +19,10 @@ budget): plain rel-L2 0.48 vs causal 0.15 — a 3.3x accuracy win from
 scheduling alone.  At c >= 10 the bottleneck becomes spectral, not
 causal: the solution sin(2*pi*(x - c*t)) oscillates c times along t, and
 a raw-coordinate tanh MLP can't represent that at any budget.  Random
-Fourier features on the t column fix it (``main(C=10)``): rel-L2 0.034
-at the same 40k budget, and c=30 reaches 0.0245 at 240k iters — full
-sweep in BENCHMARKS.md "Follow-up (RFF lands)".
+Fourier features on the t column fix it (``main(C=10)``): rel-L2 0.023
+with the gated modified MLP at the same 40k budget, and c=30 reaches
+0.0065 at 240k iters — full sweep in BENCHMARKS.md "Follow-up (RFF
+lands)".
 
 NOTE: CPU-suite budget is far below where the effect materializes
 (tests/test_examples.py TPU_ONLY); the suite still covers the machinery
@@ -46,10 +47,12 @@ def main(C=C):
     # default to the non-periodic columns).  sigma ~ the dominant
     # t-frequency, NOT above it (measured, BENCHMARKS.md).
     rff = None if C <= 4 else (32, float(C))
+    akw = (dict(layout="fa fa fa f") if C <= 4
+           else dict(arch="modified"))  # gated body: measured 1.5x at c=10
     solver = Solver(convection, ndims=2, seed=0, periodic=(0,),
                     initial_condition=lambda x: pdt.sin(2 * np.pi * x),
-                    activation="Tanh", layout="fa fa fa f",
-                    features=[64, 64, 64, 1], fourier_features=rff)
+                    activation="Tanh", features=[64, 64, 64, 1],
+                    fourier_features=rff, **akw)
     # Anneal the causal temperature; eps is dynamic — one compile total.
     solver.fit(niters=20000, batch_size=2048, lr=1e-3, causal=5.0,
                chunk_size=20000, progress=False)

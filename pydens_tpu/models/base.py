@@ -596,7 +596,7 @@ class ConvBlockModel(Model):
                  domain=(0, 1), nparams=0, layout="fafaf",
                  features=(20, 30, 1), activation="Sigmoid", units=None,
                  dtype=jnp.float32, periodic=None, fourier_features=None,
-                 **kwargs):
+                 arch="mlp", **kwargs):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
@@ -605,6 +605,13 @@ class ConvBlockModel(Model):
         self.layout = layout
         self.features = list(features)
         self.activation = activation
+        if arch in ("modified", "modified_mlp"):
+            arch = "modified"
+        elif arch != "mlp":
+            raise ValueError(f"unknown arch {arch!r}; use 'mlp' (layout "
+                             "chain, default) or 'modified' (gated "
+                             "Wang-style modified MLP)")
+        self.arch = arch
 
         # Periodic spatial dimensions: a Fourier input embedding
         # x_i -> (sin, cos)(2*pi*(x_i - lo)/(hi - lo)) makes the solution
@@ -669,9 +676,23 @@ class ConvBlockModel(Model):
         in_dim = (self.total + len(self.periodic_dims)
                   + (0 if self._rff_b is None else 2 * self._rff_b.shape[0]))
 
-        self._net_init, self._net_apply, self.layer_names = \
-            make_layout_network(layout, self.features, activation,
-                                in_dim=in_dim, dtype=dtype)
+        if self.arch == "modified":
+            # Gated modified MLP (layout.make_modified_mlp_network); the
+            # layout string does not apply — reject an explicit non-default
+            # one rather than silently ignoring it.
+            if layout != "fafaf":
+                raise ValueError(
+                    "arch='modified' builds its own gated structure — "
+                    "drop the layout= argument (depth comes from "
+                    "len(features))")
+            from .layout import make_modified_mlp_network
+            self._net_init, self._net_apply, self.layer_names = \
+                make_modified_mlp_network(self.features, activation,
+                                          in_dim=in_dim, dtype=dtype)
+        else:
+            self._net_init, self._net_apply, self.layer_names = \
+                make_layout_network(layout, self.features, activation,
+                                    in_dim=in_dim, dtype=dtype)
         self._fused_apply = None
         self._fused_taylor_cache = {}
         if not self._net_apply.taylor_ok:
@@ -743,7 +764,7 @@ class ConvBlockModel(Model):
         if mode != "always" or self.ensemble_size > 1:
             return None
         if (self.dtype != jnp.float32 or self.periodic_dims
-                or self._rff_b is not None):
+                or self._rff_b is not None or self.arch != "mlp"):
             return None
         key = tuple(closure)
         if key not in self._fused_taylor_cache:
@@ -770,10 +791,12 @@ class ConvBlockModel(Model):
 
         Off by default: the measured XLA path wins on this workload (see
         ops/pallas_mlp.py docstring).  Set ``PYDENS_TPU_FUSED=always`` to
-        opt in.
+        opt in.  Chain layouts only — the gated modified MLP has no
+        fused kernel.
         """
         import os
-        return os.environ.get("PYDENS_TPU_FUSED", "never") == "always"
+        return (self.arch == "mlp"
+                and os.environ.get("PYDENS_TPU_FUSED", "never") == "always")
 
 
 # Migration alias: the reference exports `TorchModel` as the subclassing base

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["parse_layout", "make_layout_network", "ACTIVATIONS",
+__all__ = ["parse_layout", "make_layout_network",
+           "make_modified_mlp_network", "ACTIVATIONS",
            "resolve_activation"]
 
 ACTIVATIONS = {
@@ -80,6 +81,101 @@ def _set_partitions(m):
             parts.append(sub + ((m - 1,),))
     _PARTITIONS_CACHE[m] = parts
     return parts
+
+
+def _act_taps(act, V, taps, closure, max_order):
+    """Propagate a Taylor state through an ELEMENTWISE activation: the
+    order-``m`` Faà di Bruno chain rule over set partitions, with
+    ``σ', σ'', ...`` obtained generically via nested ``jax.jvp``-with-ones
+    (diagonal Jacobians only — callers gate on :func:`_is_elementwise`).
+    Returns ``(σ(V), new_taps)``."""
+    ones_like = jnp.ones_like
+    sV, d1 = jax.jvp(act, (V,), (ones_like(V),))
+    d = {1: d1}
+    fk = act
+    for k in range(2, max_order + 1):
+        fk = (lambda f: lambda z: jax.jvp(
+            f, (z,), (ones_like(z),))[1])(fk)
+        d[k] = jax.jvp(fk, (V,), (ones_like(V),))[1]
+    new_taps = {}
+    for mi in closure:
+        m = len(mi)
+        total = None
+        for part in _set_partitions(m):
+            term = d[len(part)]
+            for block in part:
+                term = term * taps[tuple(sorted(mi[i] for i in block))]
+            total = term if total is None else total + term
+        new_taps[mi] = total
+    return sV, new_taps
+
+
+def _product_taps(Va, ta, Vb, tb, closure):
+    """Taylor state of an elementwise PRODUCT ``a * b`` from the states of
+    its factors: the general Leibniz rule, summing over position subsets
+
+        (a·b)_(p) = Σ_{S ⊆ positions(p)} a_(p[S]) · b_(p[S̄])
+
+    (the empty subset reads the factor's value).  Position — not index —
+    subsets, so repeated indices get their multinomial multiplicities
+    automatically: at ``p=(0,0)`` this is ``a₀₀b + 2a₀b₀ + ab₀₀``.
+    ``closure`` is downward-closed, so every sub-multi-index is present."""
+    value = Va * Vb
+    new_taps = {}
+    for mi in closure:
+        m = len(mi)
+        total = None
+        for mask in range(1 << m):
+            sa = tuple(sorted(mi[i] for i in range(m) if mask >> i & 1))
+            sb = tuple(sorted(mi[i] for i in range(m) if not mask >> i & 1))
+            term = (ta[sa] if sa else Va) * (tb[sb] if sb else Vb)
+            total = term if total is None else total + term
+        new_taps[mi] = total
+    return value, new_taps
+
+
+def _dense_taps(layer, V, taps, closure):
+    """Taylor state through a dense layer: ONE stacked matmul moves the
+    value and every tap (derivatives of affine maps are the same linear
+    map, bias only on the value)."""
+    blocks = [V] + [taps[mi] for mi in closure]
+    out = jnp.dot(jnp.concatenate(blocks, axis=0), layer["w"],
+                  precision=jax.lax.Precision.HIGHEST)
+    parts = jnp.split(out, len(blocks), axis=0)
+    return (parts[0] + layer["b"],
+            {mi: parts[1 + i] for i, mi in enumerate(closure)})
+
+
+def _identity_state(x, closure):
+    """Default input Taylor state: one-hot tangents, zero curvature."""
+    n, in_dim = x.shape
+    taps = {}
+    for mi in closure:
+        if len(mi) == 1:
+            taps[mi] = jnp.broadcast_to(
+                jnp.zeros((in_dim,), x.dtype).at[mi[0]].set(1.0),
+                (n, in_dim))
+        else:
+            taps[mi] = jnp.zeros((n, in_dim), x.dtype)
+    return x, taps
+
+
+def _validate_closure(closure):
+    """Sorted, non-empty, downward-closed multi-indices (the activation
+    chain rules read every sub-multi-index)."""
+    cset = set(closure)
+    for mi in closure:
+        if tuple(sorted(mi)) != mi or not mi:
+            raise ValueError(
+                f"closure entries must be sorted non-empty "
+                f"multi-indices; got {mi}")
+        for i in range(len(mi)):
+            sub = mi[:i] + mi[i + 1:]
+            if sub and sub not in cset:
+                raise ValueError(
+                    f"closure entry {mi} needs sub-multi-index {sub} "
+                    "(the activation chain rule reads it); pass sets "
+                    "from Model.plan_closure")
 
 
 def _is_elementwise(act):
@@ -297,73 +393,25 @@ def make_layout_network(layout, features, activation, in_dim,
         (V, taps): value ``(N, out)`` and dict multi-index -> tap array.
         """
         closure = [tuple(mi) for mi in closure]
-        cset = set(closure)
-        for mi in closure:
-            if tuple(sorted(mi)) != mi or not mi:
-                raise ValueError(
-                    f"closure entries must be sorted non-empty "
-                    f"multi-indices; got {mi}")
-            for i in range(len(mi)):
-                sub = mi[:i] + mi[i + 1:]
-                if sub and sub not in cset:
-                    raise ValueError(
-                        f"closure entry {mi} needs sub-multi-index {sub} "
-                        "(the activation chain rule reads it); pass sets "
-                        "from Model.plan_closure")
+        _validate_closure(closure)
         if init is not None:
             V, taps0 = init
             taps = {mi: (taps0[mi] if mi in taps0 else jnp.zeros_like(V))
                     for mi in closure}
         else:
-            n, in_dim = x.shape
-            V = x
-            taps = {}
-            for mi in closure:
-                if len(mi) == 1:
-                    taps[mi] = jnp.broadcast_to(
-                        jnp.zeros((in_dim,), x.dtype).at[mi[0]].set(1.0),
-                        (n, in_dim))
-                else:
-                    taps[mi] = jnp.zeros((n, in_dim), x.dtype)
+            V, taps = _identity_state(x, closure)
         max_order = max((len(mi) for mi in closure), default=0)
         stack = []
         di_, ai_ = 0, 0
-        ones_like = jnp.ones_like
         for tok in tokens:
             if tok in ("f", "c"):
-                layer = params[layer_names[di_]]
-                blocks = [V] + [taps[mi] for mi in closure]
-                out = jnp.dot(jnp.concatenate(blocks, axis=0), layer["w"],
-                              precision=jax.lax.Precision.HIGHEST)
-                parts = jnp.split(out, len(blocks), axis=0)
-                V = parts[0] + layer["b"]
-                taps = {mi: parts[1 + i] for i, mi in enumerate(closure)}
+                V, taps = _dense_taps(params[layer_names[di_]], V, taps,
+                                      closure)
                 di_ += 1
             elif tok == "a":
-                act = acts[ai_]
-                # d[k] = sigma^(k) evaluated at the incoming V, via k nested
-                # jvp-with-ones (exact for elementwise activations; XLA CSEs
-                # the shared inner chains).
-                sV, d1 = jax.jvp(act, (V,), (ones_like(V),))
-                d = {1: d1}
-                fk = act
-                for k in range(2, max_order + 1):
-                    fk = (lambda f: lambda z: jax.jvp(
-                        f, (z,), (ones_like(z),))[1])(fk)
-                    d[k] = jax.jvp(fk, (V,), (ones_like(V),))[1]
-                new_taps = {}
-                for mi in closure:
-                    m = len(mi)
-                    total = None
-                    for part in _set_partitions(m):
-                        term = d[len(part)]
-                        for block in part:
-                            term = term * taps[tuple(sorted(
-                                mi[i] for i in block))]
-                        total = term if total is None else total + term
-                    new_taps[mi] = total
-                V = sV
-                taps = new_taps
+                # sigma^(k) at the incoming V via nested jvp-with-ones
+                # (exact for elementwise activations; XLA CSEs the chains).
+                V, taps = _act_taps(acts[ai_], V, taps, closure, max_order)
                 ai_ += 1
             elif tok == "R":
                 stack.append((V, dict(taps)))
@@ -427,6 +475,127 @@ def make_layout_network(layout, features, activation, in_dim,
     apply.activations = acts
     apply.layer_names = layer_names
     apply.taylor = taylor
+    apply.taylor_taps = taylor_taps
+    apply.taylor_ok = taylor_ok
+
+    return init, apply, layer_names
+
+
+def make_modified_mlp_network(features, activation, in_dim,
+                              dtype=jnp.float32):
+    """Wang–Sankaran–Perdikaris "modified MLP" — the gated PINN
+    architecture (arXiv:2001.04536 §3 / the "improved architecture" of the
+    causal-training literature).  Two encoder streams mix into every
+    hidden layer through a pointwise convex gate:
+
+        U = σ(x Wᵤ + bᵤ),   W = σ(x W_w + b_w)
+        h₀ = x
+        hₖ = (1 − zₖ)·U + zₖ·W,   zₖ = σ(hₖ₋₁ Wₖ + bₖ)
+        out = h_L W_out + b_out
+
+    No reference counterpart (pydens builds plain chains only); a
+    training-science superset with full Taylor fast-path support — the
+    gate product propagates derivative taps by the general Leibniz rule
+    (:func:`_product_taps`), so planned residuals stay one-traversal.
+
+    ``features`` is ``[w, w, ..., w, out]``: every hidden layer shares
+    width ``w`` (the gate mixes ``z`` with the common U/W streams);
+    ``len(features) - 1`` gate layers.  One activation for every σ slot.
+    Layer names: ``fcu``, ``fcw`` (encoders), ``fc1..fcL`` (gates),
+    ``fc{L+1}`` (output) — usable in ``freeze_layers``.
+    """
+    features = list(features)
+    if len(features) < 2:
+        raise ValueError("modified MLP needs at least [width, out] in "
+                         "features")
+    hidden, out_dim = features[:-1], features[-1]
+    if len(set(hidden)) != 1:
+        raise ValueError(
+            f"modified MLP requires equal hidden widths (the gate mixes "
+            f"every layer with the shared U/W encoder streams); got "
+            f"features={features} — use e.g. [{hidden[0]}]*{len(hidden)} "
+            f"+ [{out_dim}]")
+    width = hidden[0]
+    n_gates = len(hidden)
+    if isinstance(activation, (list, tuple)):
+        if len(set(map(str, activation))) != 1:
+            raise ValueError("modified MLP uses one activation for every "
+                             "σ slot; pass a single spec")
+        activation = activation[0]
+    act = resolve_activation(activation)
+    taylor_ok = _is_elementwise(act)
+
+    layer_names = (["fcu", "fcw"]
+                   + [f"fc{i + 1}" for i in range(n_gates + 1)])
+    # (name, fan_in, fan_out): encoders and the first gate read the input;
+    # later gates read width; output closes to out_dim.
+    shapes = ([("fcu", in_dim, width), ("fcw", in_dim, width)]
+              + [(f"fc{i + 1}", in_dim if i == 0 else width, width)
+                 for i in range(n_gates)]
+              + [(f"fc{n_gates + 1}", width, out_dim)])
+
+    def init(key):
+        """torch.nn.Linear-default init, as in make_layout_network."""
+        params = {}
+        keys = jax.random.split(key, len(shapes))
+        for k, (name, fan_in, fan_out) in zip(keys, shapes):
+            wkey, bkey = jax.random.split(k)
+            bound = 1.0 / np.sqrt(fan_in)
+            params[name] = {
+                "w": jax.random.uniform(
+                    wkey, (fan_in, fan_out), dtype, -bound, bound),
+                "b": jax.random.uniform(
+                    bkey, (fan_out,), dtype, -bound, bound),
+            }
+        return params
+
+    def _dense(layer, h):
+        return jnp.dot(h, layer["w"],
+                       precision=jax.lax.Precision.HIGHEST) + layer["b"]
+
+    def apply(params, x):
+        U = act(_dense(params["fcu"], x))
+        W = act(_dense(params["fcw"], x))
+        h = x
+        for i in range(n_gates):
+            z = act(_dense(params[f"fc{i + 1}"], h))
+            h = U + z * (W - U)  # == (1 - z)·U + z·W
+        return _dense(params[f"fc{n_gates + 1}"], h)
+
+    def taylor_taps(params, x, closure, init=None):
+        """Single-traversal Taylor propagation through the gated net: dense
+        and activation steps as in the chain builder; the gate mix
+        ``h = U + z·(W − U)`` combines states by the Leibniz product
+        rule.  Same contract as ``make_layout_network``'s
+        ``taylor_taps``."""
+        closure = [tuple(mi) for mi in closure]
+        _validate_closure(closure)
+        if init is not None:
+            V, taps = init
+            taps = {mi: (taps[mi] if mi in taps else jnp.zeros_like(V))
+                    for mi in closure}
+        else:
+            V, taps = _identity_state(x, closure)
+        max_order = max((len(mi) for mi in closure), default=0)
+
+        def through(name, state):
+            v, t = _dense_taps(params[name], *state, closure)
+            return _act_taps(act, v, t, closure, max_order)
+
+        stU = through("fcu", (V, taps))
+        stW = through("fcw", (V, taps))
+        diff = (stW[0] - stU[0],
+                {mi: stW[1][mi] - stU[1][mi] for mi in closure})
+        h = (V, taps)
+        for i in range(n_gates):
+            z = through(f"fc{i + 1}", h)
+            pv, pt = _product_taps(z[0], z[1], diff[0], diff[1], closure)
+            h = (stU[0] + pv, {mi: stU[1][mi] + pt[mi] for mi in closure})
+        return _dense_taps(params[f"fc{n_gates + 1}"], *h, closure)
+
+    apply.tokens = None  # not a chain — Pallas fused kernels don't apply
+    apply.activations = [act]
+    apply.layer_names = layer_names
     apply.taylor_taps = taylor_taps
     apply.taylor_ok = taylor_ok
 
