@@ -174,6 +174,29 @@ def bench_burgers():
     return float(rel_l2), wall
 
 
+def bench_convection():
+    """Run the high-c convection recipe (examples/20 at C=10: periodic x,
+    random Fourier features on t, gated modified MLP, annealed causal
+    weighting — 40k iters) and report rel-L2 vs the exact traveling wave.
+    The automated backing for the spectral-bias-toolkit claims."""
+    import contextlib
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "20_causal_convection.py")
+    spec = importlib.util.spec_from_file_location("convection_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with contextlib.redirect_stdout(sys.stderr):
+        solver = mod.main(C=10.0)  # asserts rel < 0.25 internally
+    xs = np.linspace(0, 1, 129)
+    ts = np.linspace(0, 1, 201)
+    X, T = np.meshgrid(xs, ts)
+    pred = solver.predict(X.ravel(), T.ravel()).ravel()
+    true = np.sin(2 * np.pi * (X - 10.0 * T)).ravel()
+    return float(np.linalg.norm(pred - true) / np.linalg.norm(true))
+
+
 def bench_torch_reference():
     """Reference-semantics torch loop (CPU), probed for TORCH_PROBE_ITERS
     iterations and extrapolated to a rate."""
@@ -257,6 +280,12 @@ def main():
             burgers_l2, burgers_wall = bench_burgers()
         except Exception as err:
             print(f"# burgers bench failed: {err}", file=sys.stderr)
+    convection_l2 = None
+    if os.environ.get("BENCH_SKIP_CONVECTION") != "1":
+        try:
+            convection_l2 = bench_convection()
+        except Exception as err:
+            print(f"# convection bench failed: {err}", file=sys.stderr)
 
     baseline_rate = None
     baseline_loss = None
@@ -289,6 +318,10 @@ def main():
                            if burgers_l2 is not None else None),
         "burgers_wall_s": (round(burgers_wall, 1)
                            if burgers_wall is not None else None),
+        # Spectral-bias toolkit (RFF + gated modified MLP + causal) on
+        # periodic convection c=10, 40k iters — examples/20's recipe.
+        "convection_c10_rel_l2": (round(convection_l2, 5)
+                                  if convection_l2 is not None else None),
         "backend": backend,
         "baseline_iters_per_sec": round(baseline_rate, 1)
         if baseline_rate else None,

@@ -104,6 +104,20 @@ def test_composes_with_embeddings():
                                atol=1e-6)
 
 
+def test_ensemble_modified():
+    # vmapped ensemble training composes with the gated body.
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+    solver = Solver(ode, ndims=1, seed=0, arch="modified", n_models=3,
+                    features=[8, 8, 1], activation="Tanh",
+                    initial_condition=0.5)
+    solver.fit(niters=80, batch_size=128, progress=False)
+    assert np.isfinite(solver.losses).all()
+    xs = np.linspace(0, 1, 17)
+    assert solver.predict_std(xs).shape == (17, 1)
+
+
 def test_ode_converges_and_freeze():
     def ode(f, x):
         return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
