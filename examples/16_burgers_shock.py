@@ -12,8 +12,11 @@ residual-based adaptive sampler (`fit(adaptive=r)`) exists for.
 
 Feature mix: boundary condition bound exactly by the ansatz product,
 exact IC via the gate, non-unit domain with an explicit product sampler
-(the default sampler ignores ``domain`` — reference quirk parity), and
-adaptive collocation concentrating points at the shock.
+(the default sampler ignores ``domain`` — reference quirk parity),
+adaptive collocation concentrating points at the shock, and the gated
+modified-MLP body (measured v5e A/B at this exact budget: rel-L2
+0.0054 chain -> 0.0026 modified, worst-at-shock 0.056 -> 0.016; seed
+spread over 4 seeds 0.0012-0.0046 / 0.012-0.047).
 
 NOTE: this example is excluded from the CPU test suite (tests/
 test_examples.py TPU_ONLY) — the deep net + L-BFGS polish budget that
@@ -56,7 +59,7 @@ def main():
                     domain=[(-1.0, 1.0), (0.0, 1.0)],
                     initial_condition=lambda x: -pdt.sin(np.pi * x),
                     boundary_condition=0,
-                    layout="fa " * 8 + "f", features=[20] * 8 + [1],
+                    arch="modified", features=[20] * 8 + [1],
                     activation="Tanh")
     sampler = (NS("u", low=-1, high=1, seed=0)
                & NS("u", low=0, high=1, seed=1))
@@ -80,8 +83,9 @@ def main():
     rel_l2 = (np.linalg.norm(np.concatenate(preds) - np.concatenate(trues))
               / np.linalg.norm(np.concatenate(trues)))
     print(f"relative L2 error: {rel_l2:.5f}")
-    assert worst < 0.08, worst        # pointwise, AT the shock
-    assert rel_l2 < 0.01, rel_l2      # global: ~0.5% measured
+    assert worst < 0.06, worst        # pointwise, AT the shock
+    assert rel_l2 < 0.008, rel_l2     # global: ~0.26% measured (4-seed
+    #                                   spread 0.12-0.46%)
     return solver
 
 
