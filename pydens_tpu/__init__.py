@@ -11,6 +11,7 @@ math wrappers, device meshes for data-parallel training, and checkpointing.
 """
 
 from .ops.tokens import D, V, Expr, lift
+from .ops.fields import Field
 from .ops.functional import grad, div, laplace, hessian_diag, dt, dn
 from .ops.math import (sin, cos, tan, arcsin, arccos, arctan, arctan2, sinh,
                        cosh, tanh, exp, expm1, log, log1p, log2, log10, sqrt,
@@ -29,7 +30,7 @@ from .utils.export import load_exported
 __version__ = "0.3.0"
 
 __all__ = [
-    "Solver", "D", "V", "Expr", "lift",
+    "Solver", "D", "V", "Field", "Expr", "lift",
     "grad", "div", "laplace", "hessian_diag", "dt", "dn",
     "cart_prod", "uniform_grid",
     "Model", "ConvBlockModel", "TorchModel", "FlaxModel", "flax_model",

@@ -248,12 +248,16 @@ class Model:
                 f"unknown frozen layer(s) {sorted(unknown_layers)}; known "
                 f"layers: {sorted(params['net'])} (or 'conv_block' for the "
                 "whole network body)")
-        unknown_vars = (self._frozen_variables - set(params["variables"])
-                        - {"log_scale"})
+        known_vars = set(params["variables"]) | {"log_scale"}
+        unknown_vars = {
+            v for v in self._frozen_variables
+            if v not in known_vars
+            # a Field freezes by prefix: 'kappa' covers 'kappa.fc1.w', ...
+            and not any(k.startswith(v + ".") for k in known_vars)}
         if unknown_vars:
             raise AttributeError(
                 f"unknown frozen variable(s) {sorted(unknown_vars)}; known: "
-                f"{sorted(set(params['variables']) | {'log_scale'})}")
+                f"{sorted(known_vars)}")
         freeze_all_net = bool({"conv_block", "net"} & self._frozen_layers)
 
         def layer_mask(name, subtree):
@@ -264,8 +268,11 @@ class Model:
             "net": {name: layer_mask(name, sub)
                     for name, sub in params["net"].items()},
             "log_scale": "log_scale" not in self._frozen_variables,
-            "variables": {name: name not in self._frozen_variables
-                          for name in params["variables"]},
+            "variables": {
+                name: (name not in self._frozen_variables
+                       and not any(name.startswith(fz + ".")
+                                   for fz in self._frozen_variables))
+                for name in params["variables"]},
         }
 
     def _validate_freeze_names(self, layers, variables):
@@ -282,10 +289,12 @@ class Model:
                     "whole network body)")
         known_vars = set(self.params["variables"]) | {"log_scale"}
         for name in variables:
-            if name not in known_vars:
+            if (name not in known_vars
+                    and not any(k.startswith(name + ".")
+                                for k in known_vars)):
                 raise AttributeError(
                     f"unknown trainable variable {name!r}; known: "
-                    f"{sorted(known_vars)}")
+                    f"{sorted(known_vars)} (a Field freezes by prefix)")
 
     # -- freeze / unfreeze (reference API: model_torch.py:56-105) ----------
     def freeze_trainable(self, layers=None, variables=None):
