@@ -169,7 +169,15 @@ class Field:
     def predict(self, solver, *coords):
         """Evaluate the trained field at host points: ``kappa.predict(
         solver, xs)`` returns a numpy ``(N, out)`` array.  Accepts the same
-        mixed scalar/array inputs as ``Solver.predict``."""
+        mixed scalar/array inputs as ``Solver.predict``; for an ensemble
+        solver (``n_models > 1``) this is the ensemble mean, matching
+        ``Solver.predict``."""
+        out = self.predict_all(solver, *coords)
+        return out.mean(axis=0) if out.ndim == 3 else out
+
+    def predict_all(self, solver, *coords):
+        """Per-model field evaluations: ``(n_models, N, out)`` for an
+        ensemble solver, ``(N, out)`` otherwise."""
         if self.in_dim is None:
             raise RuntimeError(f"Field {self.name!r} was never used in a "
                                "Solver problem")
@@ -187,10 +195,24 @@ class Field:
             raise ValueError(
                 f"Field {self.name!r} takes {self.in_dim} coordinate(s), "
                 f"got {len(cols)}")
+        xs = np.concatenate(cols, axis=1)
+        # ensemble solvers stack every variable leaf along a leading model
+        # axis; vmap the evaluation over it
+        stacked = leaves[f"{self.name}.fc1.w"].ndim == 3
+        fn = jax.vmap(self._apply, (0, None)) if stacked else self._apply
         # one jitted dispatch — eager per-op calls cost a tunnel round-trip
         # each on the remote chip
-        return np.asarray(jax.jit(self._apply)(
-            leaves, np.concatenate(cols, axis=1)))
+        return np.asarray(jax.jit(fn)(leaves, xs))
+
+    def predict_std(self, solver, *coords):
+        """Per-point epistemic std of the recovered field across ensemble
+        members, shape ``(N, out)``.  Requires ``n_models > 1``."""
+        out = self.predict_all(solver, *coords)
+        if out.ndim != 3:
+            raise ValueError(
+                f"Field {self.name!r}: predict_std needs an ensemble solver "
+                "(n_models > 1)")
+        return out.std(axis=0)
 
     def __repr__(self):
         return (f"Field({self.name!r}, features={self.features}, "

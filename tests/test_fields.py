@@ -100,6 +100,28 @@ def test_plan_interaction():
     assert np.isfinite(s2.losses).all()
 
 
+def test_field_with_ensemble():
+    # ensemble solvers stack variable leaves along a model axis; the field
+    # must train per-model and predict the ensemble mean / std
+    sf = Field("s", features=[8, 1])
+    solver = _make_solver(sf, n_models=3)
+    assert np.asarray(solver.params["variables"]["s.fc1.w"]).shape == (3, 1, 8)
+    solver.fit(niters=40, batch_size=128, progress=False)
+    xs = np.linspace(0, 1, 11)
+    per_model = sf.predict_all(solver, xs)
+    assert per_model.shape == (3, 11, 1)
+    # members start identical but diverge through their different nets
+    assert not np.allclose(per_model[0], per_model[1])
+    np.testing.assert_allclose(sf.predict(solver, xs),
+                               per_model.mean(axis=0), rtol=1e-6)
+    assert sf.predict_std(solver, xs).shape == (11, 1)
+    # non-ensemble predict_std raises
+    sf1 = Field("s1", features=[8, 1])
+    s1 = _make_solver(sf1)
+    with pytest.raises(ValueError, match="n_models"):
+        sf1.predict_std(s1, xs)
+
+
 def test_field_of_two_coordinates():
     sf = Field("q", features=[8, 1])
 
