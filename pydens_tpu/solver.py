@@ -171,14 +171,35 @@ class Solver:
         returns the ensemble mean; ``predict_std`` the pointwise epistemic
         uncertainty; ``predict_all`` every member.  V-token variables are
         per-model (coefficient uncertainty in inverse problems).
+    formulation : str
+        ``'residual'`` (default): the equation returns a strong-form
+        residual, trained to zero in mean square.  ``'variational'``: the
+        equation returns a Deep Ritz energy DENSITY whose Monte-Carlo mean
+        is minimized directly — e.g. ``0.5 * D(f, x)**2 - source * f`` for
+        ``-u'' = source``.  The exact-BC ansatz removes the boundary
+        penalty the original method needs; only first-order derivatives
+        appear for second-order PDEs.  Incompatible with ``fit(adaptive=)``
+        and ``fit(causal=)`` (both rank strong-form residuals).
     """
 
     def __init__(self, equation, ndims, initial_condition=None,
                  boundary_condition=None, domain=(0, 1), nparams=0,
                  model=ConvBlockModel, constraints=None, seed=0, mesh=None,
-                 n_models=1, **kwargs):
+                 n_models=1, formulation="residual", **kwargs):
         self.equation = equation
         self.n_models = int(n_models)
+        if formulation not in ("residual", "variational"):
+            raise ValueError(
+                f"formulation must be 'residual' or 'variational', got "
+                f"{formulation!r}")
+        # 'variational' = Deep Ritz (E & Yu 2018): the equation callable
+        # returns an ENERGY DENSITY e(f, x, ...) and training minimizes its
+        # Monte-Carlo mean directly (no squaring) — for -Δu = f supply
+        # e = 0.5*sum(D(f,xi)**2) - source*f, whose minimizer over the
+        # exact-BC ansatz solves the PDE weakly.  Needs only first-order
+        # taps for second-order problems and tolerates low-regularity
+        # solutions the strong form cannot express.
+        self.formulation = formulation
         if constraints is None:
             self.constraints = ()
         elif isinstance(constraints, (tuple, list)):
@@ -488,6 +509,7 @@ class Solver:
         model = self.model
         total = model.total
         dtype = model.dtype
+        variational = self.formulation == "variational"
         plan_derivs = self._plan_derivs if use_plan else None
         eq_weight = dict(loss_terms).get("equation")
         import re
@@ -519,7 +541,10 @@ class Solver:
 
         def point_residual(params, leaves):
             """Per-point |equation residual| (summed over a system's
-            components) — used by adaptive sampling and diagnostics."""
+            components) — used by adaptive sampling and diagnostics.
+            Under ``formulation='variational'`` the equation output is an
+            energy density, so this is |density| (diagnostics only —
+            adaptive sampling is rejected in that mode)."""
             with variable_scope("read", params["variables"]):
                 ctx = make_ctx(params, leaves)
                 f = Expr(lambda ls: model.apply(
@@ -608,6 +633,16 @@ class Solver:
                     w_pt = w[bins]
                     terms.append(jnp.sum(w_pt * sq)
                                  / jnp.maximum(jnp.sum(w_pt), 1e-30))
+                elif eq_weight is not None and variational:
+                    # Deep Ritz: the equation output is an energy density;
+                    # the term is its plain Monte-Carlo mean (it may be
+                    # negative — the energy minimum generally is).  Systems
+                    # sum their densities.  fit() rejects adaptive/causal in
+                    # this formulation, so point_weight is never set here.
+                    acc = jnp.asarray(0.0, dtype)
+                    for res in _as_residual_list(equation(f, *coords)):
+                        acc = acc + jnp.mean(as_array(res))
+                    terms.append(acc)
                 elif eq_weight is not None:
                     # The equation may return one residual or a tuple/list of
                     # coupled residuals (systems of equations — a superset of
@@ -1121,6 +1156,11 @@ class Solver:
                     f"{self.mesh.shape[model_axis]}")
         if adaptive is not None:
             adaptive = int(adaptive)
+            if self.formulation == "variational":
+                raise ValueError(
+                    "adaptive sampling ranks points by the strong-form "
+                    "residual, which a variational (Deep Ritz) solver does "
+                    "not compute — use formulation='residual'")
             if adaptive < 2:
                 raise ValueError("adaptive must be an int >= 2 (candidate "
                                  "oversampling factor)")
@@ -1143,6 +1183,11 @@ class Solver:
         causal_eps = 0.0
         if causal is not None:
             causal_eps = float(causal)
+            if self.formulation == "variational":
+                raise ValueError(
+                    "causal training weights strong-form residuals over "
+                    "time; it is undefined for a variational (Deep Ritz) "
+                    "energy — use formulation='residual'")
             if causal_eps < 0:
                 raise ValueError("causal must be a float >= 0 (the "
                                  "causal-weighting temperature eps)")
