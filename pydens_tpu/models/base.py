@@ -16,6 +16,8 @@ the sigmoid time-gate (``:50,126``).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -197,6 +199,10 @@ class Model:
         self.params = None
         self.ensemble_size = 1
         self.periodic_dims = ()  # set by models with periodic embeddings
+        # Decaying-IC binding decision for periodic models: None = decide
+        # lazily from a wrap-compatibility probe (see _ic_decay_needed);
+        # models may force it via periodic_ic_decay=True/False.
+        self._ic_decay = None
         # Frozen interpretation of 1-D callable condition outputs
         # ('per_point' | 'per_component'), decided at the Solver's discovery
         # run (batch size 1, which disambiguates) and reused afterwards so a
@@ -342,6 +348,98 @@ class Model:
                 f"point ({n_points})")
         return val.reshape(-1, 1)
 
+    def _ic_decay_needed(self):
+        """Decide (once) whether the decaying-IC binding is needed.
+
+        The persistent binding ``gate*NN + ic`` is a useful structural
+        prior when the IC is itself compatible with the periodic embedding
+        (value, slope and curvature match across every periodic wrap —
+        e.g. ``sin(2*pi*x)`` on [0, 1]); decaying it there only slows
+        convergence (measured: the causal-convection suite regressed 2x
+        under an unconditional decay).  When the IC is wrap-incompatible
+        (Allen-Cahn's ``x^2 cos(pi x)`` on [-1, 1]: slope jump 4), the
+        persistent term bakes a non-periodic derivative into the solution
+        for ALL t that the exactly-periodic network can cancel on one side
+        of the wrap only — a measured hard error floor of ~0.3 rel-L2
+        (BENCHMARKS.md "Allen-Cahn").  So: probe the IC at each periodic
+        wrap with host-side central differences and decay iff any of
+        value/slope/curvature mismatches beyond measurement noise.
+        """
+        if self._ic_decay is not None:
+            return self._ic_decay
+        conds = [self.initial_condition]
+        if self.initial_condition_t is not None:
+            conds.append(self.initial_condition_t)
+        try:
+            # The first call usually happens inside a jit trace (the
+            # Solver's discovery run); omnistaging would stage the IC's own
+            # jnp ops into that trace, so force eager evaluation.
+            with jax.ensure_compile_time_eval():
+                mismatch = any(
+                    self._wrap_mismatch(cond, d)
+                    for cond in conds for d in self.periodic_dims)
+        except Exception as exc:  # exotic IC (V tokens, torch, ...):
+            warnings.warn(
+                "could not probe the initial condition for periodic wrap "
+                f"compatibility ({exc!r}); assuming incompatible and "
+                "decaying the IC term (pass periodic_ic_decay=False to "
+                "keep the persistent binding)")
+            mismatch = True
+        self._ic_decay = mismatch
+        return mismatch
+
+    def _wrap_mismatch(self, cond, d):
+        """True if ``cond`` (a spatial-columns callable) breaks value,
+        slope or curvature continuity across periodic dim ``d``'s wrap."""
+        nds = self.ndims_spatial
+        rng = np.random.default_rng(0)
+        k = 4  # probe points for the other spatial coordinates
+        cols = []
+        for i in range(nds):
+            lo_i, hi_i = (float(v) for v in self.domain[i])
+            cols.append(rng.uniform(lo_i, hi_i, k).astype(np.float32))
+        lo, hi = (float(v) for v in self.domain[d])
+        span = hi - lo
+        # h large enough that float32 rounding in the IC's own evaluation
+        # stays below the curvature threshold (noise ~ eps/h^2); the FD
+        # truncation error cancels between the two wrap sides whenever the
+        # quantity is actually periodic, so a large h costs nothing there.
+        h = 0.1 * span
+
+        def f(xd):
+            cs = list(cols)
+            cs[d] = np.full(k, xd, np.float32)
+            return np.asarray(cond(*cs), np.float64)
+
+        # Value, slope and curvature in the normalized coordinate
+        # (x - lo)/span, so all three share the value's scale ballpark.
+        # The scale is GLOBAL (interior sweep included): a soliton-style IC
+        # that has decayed to ~1e-7 at the wrap is compatible for every
+        # practical purpose even though its tail is not literally periodic.
+        quantities = []
+        value_scale = max(1e-6, max(
+            float(np.max(np.abs(f(lo + frac * span))))
+            for frac in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)))
+        for x0 in (lo, hi):
+            fm, f0, fp = f(x0 - h), f(x0), f(x0 + h)
+            value_scale = max(value_scale,
+                              float(np.max(np.abs([fm, f0, fp]))))
+            quantities.append((f0,
+                               (fp - fm) / (2 * h) * span,
+                               (fp - 2 * f0 + fm) / (h * h) * span * span))
+        # Tolerances: relative to the quantity's own magnitude or to the
+        # IC's overall scale (whichever is larger — a periodic IC is often
+        # exactly 0 AT the wrap); curvature gets a looser factor because
+        # float32 rounding in the IC amplifies by 4*eps/h^2 = ~2e-4.
+        for (a, b), rtol in zip(zip(*quantities), (1e-3, 1e-3, 3e-3)):
+            scale = max(float(np.max(np.abs(a))),
+                        float(np.max(np.abs(b))), value_scale)
+            if not np.all(np.isfinite(a - b)):
+                return True
+            if float(np.max(np.abs(a - b))) > rtol * scale:
+                return True
+        return False
+
     # -- forward + ansatz ---------------------------------------------------
     def apply(self, params, xs):
         """Full forward: network body then ansatz. ``xs`` is ``(N, total)``."""
@@ -405,8 +503,29 @@ class Model:
             ic = self._normalize_cond("initial_condition", ic,
                                       u.shape[0], u.shape[1])
             gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
+            ic_decay = 1.0
+            if self.periodic_dims and self._ic_decay_needed():
+                # Decaying-IC binding for periodic models whose IC is
+                # incompatible with the wrap (see _ic_decay_needed).  The
+                # persistent form ``gate*NN + ic`` carries the IC's own
+                # non-periodic derivatives at the wrap point for ALL t,
+                # while the embedded network is exactly periodic — the model
+                # can cancel the slope mismatch on one side of the wrap
+                # only.  Decaying the IC term keeps u(t0) exact while making
+                # the solution asymptotically exactly periodic.  The
+                # timescale is FIXED at a quarter of the time span: making
+                # it trainable opens a measured loophole — the optimizer
+                # collapses the scale to ~0, the IC vanishes from every
+                # sampled t > t0 sliver, and the PDE is then 'solved'
+                # exactly along a wrong trajectory (loss 7e-7, solution 40%
+                # off — BENCHMARKS.md "Allen-Cahn").  The tau^2 form has
+                # zero slope at t0, so the second-order-in-time binding
+                # below keeps u_t(t0) exact too.
+                t_lo, t_hi = self.domain[self.ndims - 1]
+                tau = (t - t0) / (0.25 * (float(t_hi) - float(t_lo)))
+                ic_decay = 2.0 - 2.0 * jax.nn.sigmoid(tau * tau)
             if self.initial_condition_t is None:
-                u = gate * u + ic
+                u = gate * u + ic * ic_decay
             else:
                 # Second-order-in-time binding: gate^2 vanishes to second
                 # order at t0, so u(t0) = ic AND u_t(t0) = ic_t exactly.
@@ -414,7 +533,7 @@ class Model:
                                    self.dtype)
                 ic_t = self._normalize_cond("initial_condition_t", ic_t,
                                             u.shape[0], u.shape[1])
-                u = gate * gate * u + ic + (t - t0) * ic_t
+                u = gate * gate * u + (ic + (t - t0) * ic_t) * ic_decay
         return u
 
     # -- fused-inference hooks (overridden by ConvBlockModel) ---------------
@@ -605,10 +724,15 @@ class ConvBlockModel(Model):
                  domain=(0, 1), nparams=0, layout="fafaf",
                  features=(20, 30, 1), activation="Sigmoid", units=None,
                  dtype=jnp.float32, periodic=None, fourier_features=None,
-                 arch="mlp", **kwargs):
+                 arch="mlp", periodic_ic_decay=None, **kwargs):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
+        # periodic_ic_decay: None = probe the IC for wrap compatibility and
+        # decide (the default); True/False force the decaying/persistent
+        # IC binding (see Model._ic_decay_needed).
+        if periodic_ic_decay is not None:
+            self._ic_decay = bool(periodic_ic_decay)
         if units is not None:
             features = units
         self.layout = layout
@@ -623,12 +747,26 @@ class ConvBlockModel(Model):
         self.arch = arch
 
         # Periodic spatial dimensions: a Fourier input embedding
-        # x_i -> (sin, cos)(2*pi*(x_i - lo)/(hi - lo)) makes the solution
-        # AND all its derivatives exactly periodic in those dims (no
-        # reference counterpart; the standard exact-periodicity device).
+        # x_i -> (sin, cos)(k*2*pi*(x_i - lo)/(hi - lo)), k = 1..m, makes
+        # the solution AND all its derivatives exactly periodic in those
+        # dims (no reference counterpart; the standard exact-periodicity
+        # device).  m=1 by default; a dict {dim: m} requests m harmonics —
+        # sharp periodic features (Allen-Cahn kinks, shocks) train far
+        # faster when the embedding already spans the needed band, the
+        # periodic analogue of fourier_features.
         if periodic is True:
             periodic = tuple(range(self.ndims_spatial))
+        if isinstance(periodic, dict):
+            self.periodic_harmonics = {int(d): int(m)
+                                       for d, m in periodic.items()}
+            periodic = tuple(self.periodic_harmonics)
+        else:
+            self.periodic_harmonics = {int(d): 1 for d in (periodic or ())}
         self.periodic_dims = tuple(sorted(periodic)) if periodic else ()
+        for d, m in self.periodic_harmonics.items():
+            if m < 1:
+                raise ValueError(f"periodic dim {d} needs >= 1 harmonic, "
+                                 f"got {m}")
         for d in self.periodic_dims:
             if d >= self.ndims_spatial:
                 raise ValueError(
@@ -682,7 +820,8 @@ class ConvBlockModel(Model):
             self._rff_b = np.asarray(rng.normal(0.0, sigma, (m, len(dims))),
                                      np.float32)
             self._rff_dims = dims
-        in_dim = (self.total + len(self.periodic_dims)
+        in_dim = (self.total
+                  + sum(2 * m - 1 for m in self.periodic_harmonics.values())
                   + (0 if self._rff_b is None else 2 * self._rff_b.shape[0]))
 
         if self.arch == "modified":
@@ -722,8 +861,9 @@ class ConvBlockModel(Model):
                 lo, hi = self.domain[i]
                 w = 2.0 * np.pi / (float(hi) - float(lo))
                 phase = w * (xi - float(lo))
-                cols.append(jnp.sin(phase))
-                cols.append(jnp.cos(phase))
+                for k in range(1, self.periodic_harmonics[i] + 1):
+                    cols.append(jnp.sin(float(k) * phase))
+                    cols.append(jnp.cos(float(k) * phase))
             else:
                 cols.append(xi)
         if self._rff_b is not None:

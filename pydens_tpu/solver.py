@@ -1006,7 +1006,7 @@ class Solver:
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
             adaptive=None, fast_taps="auto", callback=None,
             loss_balancing=None, checkpoint_path=None, checkpoint_every=None,
-            stop_on_nan=True, causal=None, **kwargs):
+            stop_on_nan=True, causal=None, causal_axis=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -1191,11 +1191,14 @@ class Solver:
             if causal_eps < 0:
                 raise ValueError("causal must be a float >= 0 (the "
                                  "causal-weighting temperature eps)")
-            if self.model.initial_condition is None:
+            if self.model.initial_condition is None and causal_axis is None:
                 raise ValueError(
                     "causal training needs a time axis — construct the "
                     "Solver with an initial_condition (time is the last "
-                    "variable column, as in the ansatz)")
+                    "variable column, as in the ansatz), or pass "
+                    "fit(causal_axis=k) to name the time column explicitly "
+                    "(penalty-IC workflows, e.g. a non-periodic-compatible "
+                    "initial state bound by a constraint)")
             if "equation" not in dict(loss_terms):
                 raise ValueError("causal training weights the equation "
                                  "residual; include 'equation' in "
@@ -1206,10 +1209,16 @@ class Solver:
             if adaptive is not None:
                 raise ValueError("causal and adaptive sampling both "
                                  "reweight the equation residual — use one")
-            t_lo, t_hi = self.model.domain[self.model.ndims - 1]
+            t_axis = (self.model.ndims - 1 if causal_axis is None
+                      else int(causal_axis))
+            if not 0 <= t_axis < self.model.ndims:
+                raise ValueError(
+                    f"causal_axis={causal_axis} out of range for "
+                    f"{self.model.ndims} variable columns")
+            t_lo, t_hi = self.model.domain[t_axis]
             # Static part (bin axis + bounds) keys the compile; eps itself
             # is a runtime scalar so annealing it never recompiles.
-            causal = (self.model.ndims - 1, float(t_lo), float(t_hi))
+            causal = (t_axis, float(t_lo), float(t_hi))
 
         balance_every = 0
         if loss_balancing:

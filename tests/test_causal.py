@@ -73,6 +73,24 @@ def test_causal_composes_with_mesh_and_ensemble():
     assert np.isfinite(s.losses).all()
 
 
+def test_causal_axis_without_ic():
+    # Penalty-IC workflow: no bound initial_condition, the IC lives in a
+    # constraint; fit(causal_axis=) names the time column explicitly.
+    def eq(f, x, t):
+        return D(f, t) + 2.0 * D(f, x)
+
+    s = Solver(eq, ndims=2, seed=0, activation="Tanh",
+               layout="fa fa f", features=[16, 16, 1],
+               constraints=lambda f, x, t: f(x, np.zeros(1)) - 1.0)
+    s.fit(niters=50, batch_size=128, causal=5.0, causal_axis=1,
+          loss_terms={"equation": 1.0, "constraint_0": 10.0},
+          progress=False)
+    assert np.isfinite(s.losses).all()
+    with pytest.raises(ValueError, match="out of range"):
+        s.fit(niters=1, batch_size=8, causal=1.0, causal_axis=7,
+              progress=False)
+
+
 def test_causal_validation_errors():
     no_time = Solver(lambda f, x: D(f, x) - 1.0, ndims=1, seed=0)
     with pytest.raises(ValueError, match="time axis"):

@@ -85,6 +85,95 @@ def test_periodic_mixed_with_dirichlet_time():
     assert solver.losses[-1] < solver.losses[0]
 
 
+def test_periodic_multiharmonic_exact_and_plan():
+    # periodic={dim: m} requests m harmonics; periodicity stays exact and
+    # the Taylor plan stays differential-equal to nested jvp.
+    def ode(f, x, t):
+        return D(f, t) - 0.1 * D(D(f, x), x)
+
+    solver = Solver(ode, ndims=2, seed=0, periodic={0: 4},
+                    initial_condition=lambda x: pdt.sin(2 * np.pi * x),
+                    layout="fafaf", features=[12, 12, 1])
+    assert solver.model.periodic_harmonics == {0: 4}
+    np.testing.assert_allclose(solver.predict(0.0, 0.37),
+                               solver.predict(1.0, 0.37), rtol=1e-5,
+                               atol=1e-6)
+    lt = (("equation", 1.0),)
+    crit = lambda a, b: jnp.mean((a - b) ** 2)
+    loss_plan, _ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
+    pts = jax.random.uniform(jax.random.key(1), (64, 2))
+    leaves = [pts[:, i:i + 1] for i in range(2)]
+    l1, g1 = jax.value_and_grad(loss_plan)(solver.model.params, leaves)
+    l2, g2 = jax.value_and_grad(loss_ref)(solver.model.params, leaves)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_periodic_multiharmonic_learns_sharp_content():
+    # u'' = -(6*pi)^2 sin(6*pi*x): the 3rd harmonic.  With m=4 the
+    # embedding already spans it.
+    def ode(f, x):
+        return D(D(f, x), x) + (6 * np.pi) ** 2 * pdt.sin(6 * np.pi * x)
+
+    solver = Solver(ode, ndims=1, seed=0, periodic={0: 4},
+                    layout="fa fa f", features=[24, 24, 1],
+                    activation="Tanh",
+                    constraints=lambda f, x: f(np.array([0.25])))
+    solver.fit(niters=2000, batch_size=512, lr=0.01,
+               loss_terms={"equation": 1.0, "constraint_0": 20.0},
+               progress=False)
+    xs = np.linspace(0, 1, 200)
+    truth = np.sin(6 * np.pi * xs) - np.sin(6 * np.pi * 0.25)
+    err = np.max(np.abs(solver.predict(xs).ravel() - truth))
+    assert err < 0.1, err
+
+
+def test_periodic_ic_decay_probe():
+    # The decaying-IC binding engages ONLY for wrap-incompatible ICs:
+    # sin(2*pi*x) matches value/slope/curvature across the wrap (keep the
+    # persistent structural prior), x^2*cos(pi*x) on [-1,1] has a slope
+    # jump of 4 (decay), a soliton tail that reached ~1e-7 of its global
+    # scale is compatible for every practical purpose.
+    def mk(**kw):
+        return Solver(lambda f, x, t: D(f, t) + D(f, x), ndims=2, seed=0,
+                      layout="fa f", features=[8, 1], **kw)
+
+    assert not mk(periodic=(0,),
+                  initial_condition=lambda x: pdt.sin(2 * np.pi * x)
+                  ).model._ic_decay_needed()
+    assert mk(periodic={0: 10}, domain=[(-1, 1), (0, 1)],
+              initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x)
+              ).model._ic_decay_needed()
+    assert not mk(periodic=(0,),
+                  initial_condition=1.0).model._ic_decay_needed()
+    sech2 = lambda x: 2 / (0.5 * (pdt.exp(x) + pdt.exp(-x))) ** 2
+    assert not mk(periodic=(0,), domain=[(-10, 10), (0, 1)],
+                  initial_condition=sech2).model._ic_decay_needed()
+    # Explicit override beats the probe.
+    assert not mk(periodic=(0,), periodic_ic_decay=False,
+                  initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x)
+                  ).model._ic_decay_needed()
+    assert mk(periodic=(0,), periodic_ic_decay=True,
+              initial_condition=lambda x: pdt.sin(2 * np.pi * x)
+              ).model._ic_decay_needed()
+
+
+def test_periodic_ic_decay_keeps_ic_exact():
+    # With the decay engaged, u(x, t0) must still equal the IC exactly.
+    s = Solver(lambda f, x, t: D(f, t) - D(D(f, x), x), ndims=2, seed=0,
+               domain=[(-1, 1), (0, 1)], periodic={0: 4},
+               initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x),
+               layout="fa f", features=[12, 1])
+    assert s.model._ic_decay_needed()
+    xs = np.linspace(-1, 1, 64).astype(np.float32)
+    got = s.predict(xs, np.zeros_like(xs)).ravel()
+    np.testing.assert_allclose(got, xs ** 2 * np.cos(np.pi * xs),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_periodic_validation():
     with pytest.raises(ValueError, match="spatial"):
         Solver(lambda f, x, t: D(f, t), ndims=2, periodic=(1,), seed=0,
