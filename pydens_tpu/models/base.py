@@ -199,9 +199,11 @@ class Model:
         self.params = None
         self.ensemble_size = 1
         self.periodic_dims = ()  # set by models with periodic embeddings
-        # Decaying-IC binding decision for periodic models: None = decide
-        # lazily from a wrap-compatibility probe (see _ic_decay_needed);
-        # models may force it via periodic_ic_decay=True/False.
+        # Decaying-IC binding for periodic models: strictly opt-in
+        # (periodic_ic_decay=True).  None = keep the persistent binding
+        # and run a one-time wrap-compatibility probe that warns when the
+        # IC is incompatible (see _ic_decay_engaged for the measured
+        # verdict); False = persistent, silently.
         self._ic_decay = None
         # Frozen interpretation of 1-D callable condition outputs
         # ('per_point' | 'per_component'), decided at the Solver's discovery
@@ -348,25 +350,44 @@ class Model:
                 f"point ({n_points})")
         return val.reshape(-1, 1)
 
-    def _ic_decay_needed(self):
-        """Decide (once) whether the decaying-IC binding is needed.
+    def _ic_decay_engaged(self):
+        """Whether the decaying-IC binding is active (opt-in).
 
-        The persistent binding ``gate*NN + ic`` is a useful structural
-        prior when the IC is itself compatible with the periodic embedding
-        (value, slope and curvature match across every periodic wrap —
-        e.g. ``sin(2*pi*x)`` on [0, 1]); decaying it there only slows
-        convergence (measured: the causal-convection suite regressed 2x
-        under an unconditional decay).  When the IC is wrap-incompatible
-        (Allen-Cahn's ``x^2 cos(pi x)`` on [-1, 1]: slope jump 4), the
-        persistent term bakes a non-periodic derivative into the solution
-        for ALL t that the exactly-periodic network can cancel on one side
-        of the wrap only — a measured hard error floor of ~0.3 rel-L2
-        (BENCHMARKS.md "Allen-Cahn").  So: probe the IC at each periodic
-        wrap with host-side central differences and decay iff any of
-        value/slope/curvature mismatches beyond measurement noise.
+        Measured verdict (BENCHMARKS.md "Allen-Cahn"): the persistent
+        binding ``gate*NN + ic`` trains better than the decaying one at
+        every budget tested — on Allen-Cahn itself (with and without
+        causal weighting) AND on a linear periodic-heat control designed
+        to isolate the wrap-kink mechanism.  A wrap-incompatible IC does
+        carry its value/slope kink into the bound solution for all ``t``
+        (the exactly-periodic network is smooth on the circle), but a kink
+        is L2-approximable — a soft spectral penalty, not the hard error
+        floor it was first believed to be; at realistic budgets the
+        optimization error dominates either way, and the persistent term
+        remains the better structural prior.  So the decay is strictly
+        opt-in (``periodic_ic_decay=True``); with the default (None) a
+        wrap-incompatible IC gets a one-time advisory warning so the
+        trade-off is visible, and the persistent binding is kept.
         """
-        if self._ic_decay is not None:
-            return self._ic_decay
+        if self._ic_decay is None:
+            if self._probe_ic_wrap_incompatible():
+                warnings.warn(
+                    "the initial condition is incompatible with the "
+                    "periodic wrap (value/slope/curvature mismatch across "
+                    "the identified boundary): the exact-IC binding "
+                    "carries that kink into the solution for all t. The "
+                    "persistent binding is kept — it measured better than "
+                    "the decaying alternative at every budget tested "
+                    "(BENCHMARKS.md \"Allen-Cahn\"). Pass "
+                    "periodic_ic_decay=True to opt into the decaying "
+                    "binding, or periodic_ic_decay=False to silence this "
+                    "warning.")
+            self._ic_decay = False
+        return self._ic_decay
+
+    def _probe_ic_wrap_incompatible(self):
+        """Host-side probe: does any IC break value/slope/curvature
+        continuity across any periodic wrap (central differences, global
+        scale so decayed soliton tails stay compatible)?"""
         conds = [self.initial_condition]
         if self.initial_condition_t is not None:
             conds.append(self.initial_condition_t)
@@ -375,18 +396,15 @@ class Model:
             # Solver's discovery run); omnistaging would stage the IC's own
             # jnp ops into that trace, so force eager evaluation.
             with jax.ensure_compile_time_eval():
-                mismatch = any(
+                return any(
                     self._wrap_mismatch(cond, d)
                     for cond in conds for d in self.periodic_dims)
         except Exception as exc:  # exotic IC (V tokens, torch, ...):
             warnings.warn(
                 "could not probe the initial condition for periodic wrap "
-                f"compatibility ({exc!r}); assuming incompatible and "
-                "decaying the IC term (pass periodic_ic_decay=False to "
-                "keep the persistent binding)")
-            mismatch = True
-        self._ic_decay = mismatch
-        return mismatch
+                f"compatibility ({exc!r}); assuming compatible (pass "
+                "periodic_ic_decay=True to force the decaying binding)")
+            return False
 
     def _wrap_mismatch(self, cond, d):
         """True if ``cond`` (a spatial-columns callable) breaks value,
@@ -504,23 +522,21 @@ class Model:
                                       u.shape[0], u.shape[1])
             gate = jax.nn.sigmoid((t - t0) / jnp.exp(params["log_scale"])) - 0.5
             ic_decay = 1.0
-            if self.periodic_dims and self._ic_decay_needed():
-                # Decaying-IC binding for periodic models whose IC is
-                # incompatible with the wrap (see _ic_decay_needed).  The
-                # persistent form ``gate*NN + ic`` carries the IC's own
-                # non-periodic derivatives at the wrap point for ALL t,
-                # while the embedded network is exactly periodic — the model
-                # can cancel the slope mismatch on one side of the wrap
-                # only.  Decaying the IC term keeps u(t0) exact while making
-                # the solution asymptotically exactly periodic.  The
-                # timescale is FIXED at a quarter of the time span: making
-                # it trainable opens a measured loophole — the optimizer
-                # collapses the scale to ~0, the IC vanishes from every
-                # sampled t > t0 sliver, and the PDE is then 'solved'
-                # exactly along a wrong trajectory (loss 7e-7, solution 40%
-                # off — BENCHMARKS.md "Allen-Cahn").  The tau^2 form has
-                # zero slope at t0, so the second-order-in-time binding
-                # below keeps u_t(t0) exact too.
+            if self.periodic_dims and self._ic_decay_engaged():
+                # OPT-IN decaying-IC binding for periodic models
+                # (periodic_ic_decay=True; see _ic_decay_engaged for the
+                # measured verdict that keeps the persistent form the
+                # default).  Decaying the IC term keeps u(t0) exact while
+                # making the solution asymptotically exactly periodic.
+                # The timescale is FIXED at a quarter of the time span:
+                # making it trainable opens a measured loophole — the
+                # optimizer collapses the scale to ~0, the IC vanishes
+                # from every sampled t > t0 sliver, and the PDE is then
+                # 'solved' exactly along a wrong trajectory (loss 7e-7,
+                # solution 40% off — BENCHMARKS.md "Allen-Cahn").  The
+                # tau^2 form has zero slope at t0, so the
+                # second-order-in-time binding below keeps u_t(t0) exact
+                # too.
                 t_lo, t_hi = self.domain[self.ndims - 1]
                 tau = (t - t0) / (0.25 * (float(t_hi) - float(t_lo)))
                 ic_decay = 2.0 - 2.0 * jax.nn.sigmoid(tau * tau)
@@ -728,9 +744,10 @@ class ConvBlockModel(Model):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
-        # periodic_ic_decay: None = probe the IC for wrap compatibility and
-        # decide (the default); True/False force the decaying/persistent
-        # IC binding (see Model._ic_decay_needed).
+        # periodic_ic_decay: True = opt into the decaying IC binding;
+        # False = persistent, silently; None (default) = persistent, with
+        # a one-time advisory warning when the wrap-compatibility probe
+        # finds a mismatched IC (see Model._ic_decay_engaged).
         if periodic_ic_decay is not None:
             self._ic_decay = bool(periodic_ic_decay)
         if units is not None:

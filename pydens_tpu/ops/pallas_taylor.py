@@ -25,7 +25,8 @@ Correctness: differential-tested against the XLA Taylor plan (values and
 parameter gradients) in tests/test_pallas_taylor.py (interpret mode on
 CPU, the real Mosaic lowering on TPU).
 
-Measured verdict (v5e, BENCHMARKS.md "Fused Pallas Taylor kernel"): the
+Measured verdict (v5e, BENCHMARKS.md "Fused Pallas Taylor
+forward+backward kernel"): the
 kernel is correct but 0.55-0.84x the best XLA path at 64k-1M batches —
 Mosaic codegen for tiny-K (<=64) matmul chains eats the bandwidth savings.
 It therefore stays opt-in (``PYDENS_TPU_FUSED_TAYLOR=always``); the XLA

@@ -2,6 +2,8 @@
 and ALL its derivatives are exactly periodic by construction (no reference
 counterpart)."""
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -132,42 +134,51 @@ def test_periodic_multiharmonic_learns_sharp_content():
 
 
 def test_periodic_ic_decay_probe():
-    # The decaying-IC binding engages ONLY for wrap-incompatible ICs:
-    # sin(2*pi*x) matches value/slope/curvature across the wrap (keep the
-    # persistent structural prior), x^2*cos(pi*x) on [-1,1] has a slope
-    # jump of 4 (decay), a soliton tail that reached ~1e-7 of its global
-    # scale is compatible for every practical purpose.
+    # The decay is OPT-IN (it measured worse at every budget tested,
+    # BENCHMARKS.md "Allen-Cahn"); the probe's role is advisory.  A
+    # wrap-incompatible IC (x^2*cos(pi*x) on [-1,1]: slope jump 4) keeps
+    # the persistent binding but warns once; sin(2*pi*x) matches
+    # value/slope/curvature across the wrap (no warning), as does a
+    # soliton tail that reached ~1e-7 of its global scale.
     def mk(**kw):
         return Solver(lambda f, x, t: D(f, t) + D(f, x), ndims=2, seed=0,
                       layout="fa f", features=[8, 1], **kw)
 
-    assert not mk(periodic=(0,),
-                  initial_condition=lambda x: pdt.sin(2 * np.pi * x)
-                  ).model._ic_decay_needed()
-    assert mk(periodic={0: 10}, domain=[(-1, 1), (0, 1)],
-              initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x)
-              ).model._ic_decay_needed()
-    assert not mk(periodic=(0,),
-                  initial_condition=1.0).model._ic_decay_needed()
-    sech2 = lambda x: 2 / (0.5 * (pdt.exp(x) + pdt.exp(-x))) ** 2
-    assert not mk(periodic=(0,), domain=[(-10, 10), (0, 1)],
-                  initial_condition=sech2).model._ic_decay_needed()
-    # Explicit override beats the probe.
-    assert not mk(periodic=(0,), periodic_ic_decay=False,
-                  initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x)
-                  ).model._ic_decay_needed()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # compatible ICs must NOT warn
+        assert not mk(periodic=(0,),
+                      initial_condition=lambda x: pdt.sin(2 * np.pi * x)
+                      ).model._ic_decay_engaged()
+        assert not mk(periodic=(0,),
+                      initial_condition=1.0).model._ic_decay_engaged()
+        sech2 = lambda x: 2 / (0.5 * (pdt.exp(x) + pdt.exp(-x))) ** 2
+        assert not mk(periodic=(0,), domain=[(-10, 10), (0, 1)],
+                      initial_condition=sech2).model._ic_decay_engaged()
+    # Incompatible IC: persistent binding kept, one advisory warning.
+    with pytest.warns(UserWarning, match="incompatible with the periodic"):
+        s = mk(periodic={0: 10}, domain=[(-1, 1), (0, 1)],
+               initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x))
+    assert not s.model._ic_decay_engaged()
+    # Explicit choices: True engages the decay, False silences the probe.
     assert mk(periodic=(0,), periodic_ic_decay=True,
               initial_condition=lambda x: pdt.sin(2 * np.pi * x)
-              ).model._ic_decay_needed()
+              ).model._ic_decay_engaged()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert not mk(periodic=(0,), periodic_ic_decay=False,
+                      initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x)
+                      ).model._ic_decay_engaged()
 
 
 def test_periodic_ic_decay_keeps_ic_exact():
-    # With the decay engaged, u(x, t0) must still equal the IC exactly.
+    # With the (opt-in) decay engaged, u(x, t0) must still equal the IC
+    # exactly.
     s = Solver(lambda f, x, t: D(f, t) - D(D(f, x), x), ndims=2, seed=0,
                domain=[(-1, 1), (0, 1)], periodic={0: 4},
                initial_condition=lambda x: x ** 2 * pdt.cos(np.pi * x),
+               periodic_ic_decay=True,
                layout="fa f", features=[12, 1])
-    assert s.model._ic_decay_needed()
+    assert s.model._ic_decay_engaged()
     xs = np.linspace(-1, 1, 64).astype(np.float32)
     got = s.predict(xs, np.zeros_like(xs)).ravel()
     np.testing.assert_allclose(got, xs ** 2 * np.cos(np.pi * xs),
