@@ -300,14 +300,17 @@ def main():
             last_err = err
             print(f"# core bench attempt {attempt + 1} failed: {err}",
                   file=sys.stderr)
-            time.sleep(45)
+            if attempt < 3:  # no pointless sleep after the final attempt
+                time.sleep(45)
     else:
         print(json.dumps({
             "metric": "poisson2d_readme_train_throughput", "value": None,
             "unit": "iters/s", "vs_baseline": None, "backend": backend,
             "error": f"TPU backend unavailable after 4 attempts: {last_err}",
         }))
-        return
+        # Nonzero like the watchdog hang path (3): a 4x-failed bench must
+        # not read as success to an exit-status-keyed harness.
+        sys.exit(2)
 
     # Scaling/quality extras (each individually non-fatal so one flaky
     # tunnel stall can't kill the whole bench line).

@@ -386,8 +386,9 @@ class Model:
 
     def _probe_ic_wrap_incompatible(self):
         """Host-side probe: does any IC break value/slope/curvature
-        continuity across any periodic wrap (central differences, global
-        scale so decayed soliton tails stay compatible)?"""
+        continuity across any periodic wrap?  In-domain one-sided
+        stencils with an interior-calibrated truncation floor; global
+        scale so decayed soliton tails stay compatible."""
         conds = [self.initial_condition]
         if self.initial_condition_t is not None:
             conds.append(self.initial_condition_t)
@@ -408,7 +409,15 @@ class Model:
 
     def _wrap_mismatch(self, cond, d):
         """True if ``cond`` (a spatial-columns callable) breaks value,
-        slope or curvature continuity across periodic dim ``d``'s wrap."""
+        slope or curvature continuity across periodic dim ``d``'s wrap.
+
+        Every probe point stays INSIDE the domain (one-sided stencils at
+        each wrap end): ICs that clamp or are undefined outside their
+        domain — tabulated ``interp`` data, ``sqrt``, measured fields —
+        must not be falsely flagged by out-of-domain samples.  All
+        evaluations go through ONE batched ``cond`` call: on a real-TPU
+        process each eager op is a tunnel round-trip (CLAUDE.md), so a
+        13-call probe would tax every periodic Solver construction."""
         nds = self.ndims_spatial
         rng = np.random.default_rng(0)
         k = 4  # probe points for the other spatial coordinates
@@ -418,43 +427,76 @@ class Model:
             cols.append(rng.uniform(lo_i, hi_i, k).astype(np.float32))
         lo, hi = (float(v) for v in self.domain[d])
         span = hi - lo
-        # h large enough that float32 rounding in the IC's own evaluation
-        # stays below the curvature threshold (noise ~ eps/h^2); the FD
-        # truncation error cancels between the two wrap sides whenever the
-        # quantity is actually periodic, so a large h costs nothing there.
-        h = 0.1 * span
+        h = 0.05 * span
+        # One-sided O(h^2) stencils carry odd-power truncation terms that
+        # do NOT cancel between the forward (at lo) and backward (at hi)
+        # side even for a perfectly periodic IC, and their size scales
+        # with the IC's harmonic content — so the truncation floor is
+        # CALIBRATED empirically: the same fwd-vs-bwd stencil mismatch is
+        # measured at interior points (where the IC is surely smooth) and
+        # the seam is only flagged when its mismatch clears a multiple of
+        # that floor.  This keeps the probe h-robust for any band content
+        # while biasing against false positives (a missed advisory is
+        # cheap; a wrong scary warning is not).
+        calib = [lo + frac * span for frac in (0.3, 0.5, 0.7)]
+        interior = [lo + frac * span
+                    for frac in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+                                 0.875)]
+        xd = np.asarray(
+            interior
+            + [c + i * h for c in calib for i in range(-3, 4)]
+            + [lo + i * h for i in range(4)]     # forward stencil at lo
+            + [hi - i * h for i in range(4)],    # backward stencil at hi
+            np.float32)
+        cs = [np.tile(c, xd.size) for c in cols]
+        cs[d] = np.repeat(xd, k)
+        out = np.asarray(cond(*cs), np.float64)
+        if out.ndim == 0:  # constant IC broadcast
+            out = np.full(xd.size * k, float(out))
+        out = out.reshape(xd.size, k, -1)
+        ncal = len(calib)
+        cal = out[7:7 + 7 * ncal].reshape(ncal, 7, k, -1)
+        flo = out[7 + 7 * ncal:11 + 7 * ncal]
+        fhi = out[11 + 7 * ncal:15 + 7 * ncal]
 
-        def f(xd):
-            cs = list(cols)
-            cs[d] = np.full(k, xd, np.float32)
-            return np.asarray(cond(*cs), np.float64)
+        def fwd(p):  # p[i] = f(x + i*h), i = 0..3; normalized by span
+            return ((-3 * p[0] + 4 * p[1] - p[2]) / (2 * h) * span,
+                    (2 * p[0] - 5 * p[1] + 4 * p[2] - p[3])
+                    / (h * h) * span * span)
+
+        def bwd(p):  # p[i] = f(x - i*h)
+            return ((3 * p[0] - 4 * p[1] + p[2]) / (2 * h) * span,
+                    (2 * p[0] - 5 * p[1] + 4 * p[2] - p[3])
+                    / (h * h) * span * span)
+
+        # Truncation + float32-rounding floor from the interior points
+        # (cal[:, 3] is the center; 3+i / 3-i step out either side).
+        floor = [0.0, 0.0]
+        for c in range(ncal):
+            fq = fwd([cal[c, 3 + i] for i in range(4)])
+            bq = bwd([cal[c, 3 - i] for i in range(4)])
+            for j in range(2):
+                floor[j] = max(floor[j],
+                               float(np.max(np.abs(fq[j] - bq[j]))))
 
         # Value, slope and curvature in the normalized coordinate
         # (x - lo)/span, so all three share the value's scale ballpark.
         # The scale is GLOBAL (interior sweep included): a soliton-style IC
         # that has decayed to ~1e-7 at the wrap is compatible for every
         # practical purpose even though its tail is not literally periodic.
-        quantities = []
-        value_scale = max(1e-6, max(
-            float(np.max(np.abs(f(lo + frac * span))))
-            for frac in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)))
-        for x0 in (lo, hi):
-            fm, f0, fp = f(x0 - h), f(x0), f(x0 + h)
-            value_scale = max(value_scale,
-                              float(np.max(np.abs([fm, f0, fp]))))
-            quantities.append((f0,
-                               (fp - fm) / (2 * h) * span,
-                               (fp - 2 * f0 + fm) / (h * h) * span * span))
+        value_scale = max(1e-6, float(np.max(np.abs(out))))
+        quantities = [(flo[0],) + fwd(flo), (fhi[0],) + bwd(fhi)]
         # Tolerances: relative to the quantity's own magnitude or to the
         # IC's overall scale (whichever is larger — a periodic IC is often
-        # exactly 0 AT the wrap); curvature gets a looser factor because
-        # float32 rounding in the IC amplifies by 4*eps/h^2 = ~2e-4.
-        for (a, b), rtol in zip(zip(*quantities), (1e-3, 1e-3, 3e-3)):
+        # exactly 0 AT the wrap), and never below 4x the calibrated
+        # stencil floor (value has no truncation term: floor 0).
+        for (a, b), rtol, flr in zip(zip(*quantities), (1e-3, 1e-3, 3e-3),
+                                     [0.0] + floor):
             scale = max(float(np.max(np.abs(a))),
                         float(np.max(np.abs(b))), value_scale)
             if not np.all(np.isfinite(a - b)):
                 return True
-            if float(np.max(np.abs(a - b))) > rtol * scale:
+            if float(np.max(np.abs(a - b))) > max(rtol * scale, 4 * flr):
                 return True
         return False
 
@@ -785,15 +827,25 @@ class ConvBlockModel(Model):
                 raise ValueError(f"periodic dim {d} needs >= 1 harmonic, "
                                  f"got {m}")
         for d in self.periodic_dims:
-            if d >= self.ndims_spatial:
+            if d < 0 or d >= self.ndims_spatial:
                 raise ValueError(
                     f"periodic dim {d} is not a spatial dimension "
-                    f"(ndims_spatial={self.ndims_spatial})")
+                    f"(expected 0 <= dim < ndims_spatial="
+                    f"{self.ndims_spatial}; negative indices are not "
+                    "supported)")
         if (boundary_condition is not None and self.periodic_dims
                 and len(self.periodic_dims) == self.ndims_spatial):
             raise ValueError(
                 "boundary_condition has no effect when every spatial "
                 "dimension is periodic — drop one of the two")
+        if periodic_ic_decay and not (self.periodic_dims
+                                      and self.initial_condition is not None):
+            raise ValueError(
+                "periodic_ic_decay=True replaces the persistent exact-IC "
+                "binding of a PERIODIC model — it needs both periodic= "
+                "dims and an initial_condition (got "
+                f"periodic_dims={self.periodic_dims}, initial_condition="
+                f"{'set' if self.initial_condition is not None else 'None'})")
         # Random Fourier features (Tancik et al.-style): append
         # [sin(2 pi B v), cos(2 pi B v)] of the selected raw columns with a
         # FIXED Gaussian frequency matrix B ~ N(0, sigma^2) — the standard

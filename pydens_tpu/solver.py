@@ -1181,6 +1181,11 @@ class Solver:
                     "know composes with sqrt-weighting)")
 
         causal_eps = 0.0
+        if causal is None and causal_axis is not None:
+            raise ValueError(
+                "causal_axis names the time column FOR causal training — "
+                "it does nothing on its own; pass fit(causal=eps, "
+                "causal_axis=k)")
         if causal is not None:
             causal_eps = float(causal)
             if self.formulation == "variational":

@@ -247,3 +247,65 @@ def test_nan_stop_keeps_last_good_checkpoint(tmp_path):
                            __import__("jax").tree.leaves(restored.params)])
     assert np.isfinite(flat).all()
     assert restored.losses == pytest.approx(good_losses)
+
+
+# ---------------------------------------------------------------------------
+# Review fixes: causal_axis validation, wrap-probe robustness, periodic
+# argument validation (round-3 in-round review)
+# ---------------------------------------------------------------------------
+
+def _transport(f, x, t):
+    return D(f, t) + D(f, x)
+
+
+def test_causal_axis_without_causal_raises():
+    # causal_axis=k alone must not silently train plain-MSE.
+    solver = Solver(_transport, ndims=2, seed=0,
+                    initial_condition=lambda x: pdt.sin(np.pi * x))
+    with pytest.raises(ValueError, match="causal_axis"):
+        solver.fit(niters=5, batch_size=16, causal_axis=1, progress=False)
+
+
+def test_wrap_probe_accepts_clamped_tabulated_ic():
+    # jnp.interp clamps flat outside its table: a genuinely wrap-compatible
+    # tabulated IC must not be flagged (the probe may only sample inside
+    # the domain).
+    import jax.numpy as jnp
+    xp = np.linspace(-1, 1, 201).astype(np.float32)
+    fp = np.sin(np.pi * xp).astype(np.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        solver = Solver(_transport, ndims=2, seed=0,
+                        domain=[(-1, 1), (0, 1)], periodic=(0,),
+                        initial_condition=lambda x: jnp.interp(x, xp, fp))
+        solver.fit(niters=2, batch_size=8, progress=False)
+    assert not [w for w in rec if "incompatible" in str(w.message)]
+
+
+def test_wrap_probe_accepts_high_harmonics():
+    # One-sided stencil truncation grows with harmonic content; the
+    # interior-calibrated floor must keep sin(6*pi*x) unflagged while the
+    # kinked Allen-Cahn IC still warns (covered in test_periodic).
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        solver = Solver(_transport, ndims=2, seed=0,
+                        domain=[(-1, 1), (0, 1)], periodic=(0,),
+                        initial_condition=lambda x: pdt.sin(6 * np.pi * x))
+        solver.fit(niters=2, batch_size=8, progress=False)
+    assert not [w for w in rec if "incompatible" in str(w.message)]
+
+
+def test_negative_periodic_dim_raises():
+    with pytest.raises(ValueError, match="not a spatial dimension"):
+        Solver(_transport, ndims=2, seed=0, periodic={-1: 2},
+               initial_condition=lambda x: pdt.sin(np.pi * x))
+
+
+def test_ic_decay_without_periodic_raises():
+    # periodic_ic_decay=True on a non-periodic model is a silent no-op
+    # otherwise; False (the silencing spelling) stays allowed anywhere.
+    with pytest.raises(ValueError, match="periodic_ic_decay"):
+        Solver(_transport, ndims=2, seed=0, periodic_ic_decay=True,
+               initial_condition=lambda x: pdt.sin(np.pi * x))
+    Solver(_transport, ndims=2, seed=0, periodic_ic_decay=False,
+           initial_condition=lambda x: pdt.sin(np.pi * x))
