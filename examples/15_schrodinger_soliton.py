@@ -38,9 +38,14 @@ def main():
     def ic(x):
         return jnp.stack([1.0 / jnp.cosh(x), jnp.zeros_like(x)], axis=-1)
 
+    # periodic_ic_decay=False: the sech tails are ~1.3% of peak at x=+-5,
+    # so the wrap probe would (correctly) flag the truncation kink — it is
+    # deliberate, standard for solitons, and measured harmless here (the
+    # final max-error assert below is the evidence).
     solver = Solver(nls, ndims=2, seed=0,
                     domain=[(-5.0, 5.0), (0.0, float(np.pi / 2))],
                     periodic=(0,), initial_condition=ic,
+                    periodic_ic_decay=False,
                     layout="fa fa fa f", features=[48, 48, 48, 2],
                     activation="Tanh")
     assert solver._plan_ok
