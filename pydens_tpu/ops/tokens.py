@@ -247,6 +247,49 @@ class Expr:
                 "function with pydens_tpu.lift instead")
         return lift(jfn)(*inputs, **kwargs)
 
+    # -- torch interop ------------------------------------------------------
+    # The reference's README/tutorial equations use torch math on the
+    # coordinate symbols (``torch.sin(np.pi * (x + y))``,
+    # `/root/reference/README.md:36`).  torch dispatches its functional API
+    # on ANY argument type defining ``__torch_function__``, so routing the
+    # call through the same :func:`lift` machinery lets those equations
+    # port verbatim: the torch function is swapped for its jax.numpy twin
+    # and stays symbolic/differentiable; torch.Tensor arguments are
+    # constants in equation context and convert to arrays.
+    _TORCH_TO_JNP = {
+        "asin": "arcsin", "acos": "arccos", "atan": "arctan",
+        "atan2": "arctan2", "asinh": "arcsinh", "acosh": "arccosh",
+        "atanh": "arctanh", "clamp": "clip", "pow": "power",
+        "mul": "multiply", "div": "divide", "sub": "subtract",
+        "neg": "negative",
+    }
+
+    @classmethod
+    def __torch_function__(cls, func, types, args=(), kwargs=None):
+        kwargs = dict(kwargs or {})
+        name = getattr(func, "__name__", "")
+        jfn = {"sigmoid": jax.nn.sigmoid,
+               "rsqrt": jax.lax.rsqrt,
+               "relu": jax.nn.relu}.get(name)
+        if jfn is None:
+            jfn = getattr(jnp, cls._TORCH_TO_JNP.get(name, name), None)
+        if jfn is None or not callable(jfn):
+            raise TypeError(
+                f"torch.{name} has no jax.numpy equivalent to apply "
+                "symbolically on a coordinate expression; use the "
+                "pydens_tpu math functions (pydens_tpu.cos, ...) or wrap "
+                "a jnp-compatible function with pydens_tpu.lift")
+
+        def conv(a):
+            if type(a).__module__.split(".")[0] == "torch" and \
+                    hasattr(a, "detach"):
+                return np.asarray(a.detach().cpu())
+            return a
+
+        args = tuple(conv(a) for a in args)
+        kwargs = {k: conv(v) for k, v in kwargs.items()}
+        return lift(jfn)(*args, **kwargs)
+
     # Comparisons materialize — they are not differentiable anyway.
     def __lt__(self, o):
         return self.value < _materialize(o)
