@@ -438,7 +438,12 @@ class Model:
         # that floor.  This keeps the probe h-robust for any band content
         # while biasing against false positives (a missed advisory is
         # cheap; a wrong scary warning is not).
-        calib = [lo + frac * span for frac in (0.3, 0.5, 0.7)]
+        # 5 calibration points spread so that a single interior kink (its
+        # +-3h stencil reach) can contaminate at most two of them — the
+        # MEDIAN floor below then stays clean and a genuine seam mismatch
+        # is still flagged (a kink placed exactly at one calibration point
+        # must not silently raise the floor to its own magnitude).
+        calib = [lo + frac * span for frac in (0.18, 0.34, 0.5, 0.66, 0.82)]
         interior = [lo + frac * span
                     for frac in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
                                  0.875)]
@@ -450,9 +455,14 @@ class Model:
             np.float32)
         cs = [np.tile(c, xd.size) for c in cols]
         cs[d] = np.repeat(xd, k)
+        n_rows = xd.size * k
         out = np.asarray(cond(*cs), np.float64)
-        if out.ndim == 0:  # constant IC broadcast
-            out = np.full(xd.size * k, float(out))
+        if out.ndim == 0:  # scalar constant IC broadcast
+            out = np.full(n_rows, float(out))
+        elif out.shape[0] != n_rows:
+            # Constant (non-batch) output, e.g. a vector IC returning
+            # (n_out,) or (1, n_out) regardless of the input batch.
+            out = np.broadcast_to(out, (n_rows,) + out.shape)
         out = out.reshape(xd.size, k, -1)
         ncal = len(calib)
         cal = out[7:7 + 7 * ncal].reshape(ncal, 7, k, -1)
@@ -471,13 +481,16 @@ class Model:
 
         # Truncation + float32-rounding floor from the interior points
         # (cal[:, 3] is the center; 3+i / 3-i step out either side).
-        floor = [0.0, 0.0]
+        # MEDIAN over the calibration points: robust to up to two points
+        # contaminated by an interior kink, while still tracking the
+        # genuine truncation scale of high-harmonic smooth ICs.
+        per_point = [[], []]
         for c in range(ncal):
             fq = fwd([cal[c, 3 + i] for i in range(4)])
             bq = bwd([cal[c, 3 - i] for i in range(4)])
             for j in range(2):
-                floor[j] = max(floor[j],
-                               float(np.max(np.abs(fq[j] - bq[j]))))
+                per_point[j].append(float(np.max(np.abs(fq[j] - bq[j]))))
+        floor = [float(np.median(p)) for p in per_point]
 
         # Value, slope and curvature in the normalized coordinate
         # (x - lo)/span, so all three share the value's scale ballpark.

@@ -58,8 +58,6 @@ ACTIVATIONS = {
     "none": lambda x: x,
 }
 
-_VALID_TOKENS = frozenset("fac R +".replace(" ", "") + "R+")
-
 _PARTITIONS_CACHE = {}
 
 

@@ -29,11 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.layout import parse_layout
 
-__all__ = ["make_fused_mlp_forward", "FUSE_BATCH_THRESHOLD"]
-
-# Batch-size gate used when fusion is force-enabled (PYDENS_TPU_FUSED=auto
-# never fuses — see module docstring for the measured rationale).
-FUSE_BATCH_THRESHOLD = 32768
+__all__ = ["make_fused_mlp_forward"]
 
 _TILE = 1024  # batch rows per grid program; activations tile (TILE, width)
 
@@ -105,13 +101,3 @@ def make_fused_mlp_forward(layout, acts, layer_names, interpret=False):
         return out[:n]
 
     return fused_apply
-
-
-def fits_fusion(layout, activation_names_resolved=True):
-    """Whether a layout is expressible in the fused kernel (all tokens are
-    dense/act/skip — always true for parse-able layouts today)."""
-    try:
-        parse_layout(layout)
-        return True
-    except ValueError:
-        return False

@@ -271,6 +271,16 @@ class Expr:
         jfn = {"sigmoid": jax.nn.sigmoid,
                "rsqrt": jax.lax.rsqrt,
                "relu": jax.nn.relu}.get(name)
+        if jfn is None and name in ("max", "min", "maximum", "minimum"):
+            # torch.max/min are arity-overloaded: two array arguments mean
+            # ELEMENTWISE max/min (jnp.maximum/minimum — jnp.max's second
+            # positional is an axis), one argument is a reduction.
+            if len(args) >= 2 and not isinstance(
+                    args[1], (int, np.integer)):
+                jfn = jnp.maximum if name in ("max", "maximum") \
+                    else jnp.minimum
+            else:
+                jfn = jnp.max if name in ("max", "maximum") else jnp.min
         if jfn is None:
             jfn = getattr(jnp, cls._TORCH_TO_JNP.get(name, name), None)
         if jfn is None or not callable(jfn):

@@ -854,14 +854,20 @@ class Solver:
                     else:
                         cand = jnp.asarray(
                             sampler.sample_device(ck, n_cand), dtype)
-                    cand_leaves = [cand[:, c:c + 1] for c in range(total)]
+                    n_top = batch_size // 2
+                    n_uni = batch_size - n_top
+                    m_pool = n_cand - n_uni
+                    # Residuals are only needed for the ranking pool — the
+                    # trailing n_uni candidates join the batch unranked, so
+                    # running the (full derivative-traversal) residual over
+                    # them would be pure waste.
+                    cand_leaves = [cand[:m_pool, c:c + 1]
+                                   for c in range(total)]
                     if n_models > 1:
                         res = jax.vmap(flat_residual, in_axes=(0, None))(
                             theta, cand_leaves).mean(axis=0)
                     else:
                         res = flat_residual(theta, cand_leaves)
-                    n_top = batch_size // 2
-                    n_uni = batch_size - n_top
                     # Proportional importance sampling: draw the refinement
                     # half from a categorical ∝ |residual| over the candidate
                     # pool and weight each picked point by w = 1/(M·p), so
@@ -870,8 +876,7 @@ class Solver:
                     # half keeps raw coverage.  (Hard top-k without weights
                     # let the stiff region dominate the gradient and made
                     # convergence worse — measured.)
-                    m_pool = n_cand - n_uni
-                    r = res[:m_pool, 0]
+                    r = res[:, 0]
                     probs = r / (jnp.sum(r) + 1e-30)
                     sel_key = jax.random.fold_in(ck, 1)
                     idx = jax.random.categorical(
@@ -1245,6 +1250,11 @@ class Solver:
 
         niters = int(niters)
         chunk = max(1, min(niters, int(chunk_size)))
+        if fast_taps not in (True, False, "auto", "never", "always"):
+            raise ValueError(
+                f"fast_taps={fast_taps!r} is not a recognized value; use "
+                "'auto' (batch-regime heuristic, default), True/'always' "
+                "(force the Taylor plan), or False/'never' (nested jvp)")
         use_plan = bool(self._plan_ok) and fast_taps not in (False, "never")
         if use_plan and fast_taps == "auto":
             # Adaptive sampling runs the planned residual over the FULL

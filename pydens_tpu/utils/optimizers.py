@@ -70,7 +70,14 @@ def _lbfgs(lr, kwargs):
     memory_size = kwargs.pop("memory_size", kwargs.pop("history_size", 10))
     _warn_unused(kwargs)
     # learning_rate=None lets the zoom linesearch pick the step size — the
-    # standard full-batch L-BFGS finishing phase for PINNs.
+    # standard full-batch L-BFGS finishing phase for PINNs.  A user-set lr
+    # (anything but fit's 0.005 default) would be silently discarded, so
+    # say so.
+    if lr is not None and lr != 0.005:
+        import warnings
+        warnings.warn(
+            "optimizer='LBFGS' picks its step size with a zoom linesearch; "
+            "the lr argument is ignored", stacklevel=4)
     return optax.lbfgs(learning_rate=None, memory_size=memory_size)
 
 

@@ -309,3 +309,46 @@ def test_ic_decay_without_periodic_raises():
                initial_condition=lambda x: pdt.sin(np.pi * x))
     Solver(_transport, ndims=2, seed=0, periodic_ic_decay=False,
            initial_condition=lambda x: pdt.sin(np.pi * x))
+
+
+# ---------------------------------------------------------------------------
+# Second review batch: probe robustness vs interior kinks, silent-lr and
+# fast_taps validation
+# ---------------------------------------------------------------------------
+
+def test_wrap_probe_kink_at_calibration_point_still_flagged():
+    # A tent IC centered exactly on a calibration fraction must not raise
+    # the truncation floor to its own kink magnitude and mask the seam
+    # slope jump (median floor over spread calibration points).
+    from pydens_tpu.models.base import ConvBlockModel
+    for center in (0.5, 0.4):
+        m = ConvBlockModel(ndims=2, periodic=[0], features=(8, 8, 1),
+                           initial_condition=lambda x, c=center:
+                           np.abs(x - c))
+        assert m._probe_ic_wrap_incompatible(), center
+
+
+def test_wrap_probe_constant_vector_ic_clean():
+    # A constant vector IC returns a non-batch shape; the probe must
+    # broadcast it and return a clean False with no could-not-probe noise.
+    from pydens_tpu.models.base import ConvBlockModel
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m = ConvBlockModel(ndims=2, periodic=[0], features=(8, 8, 2),
+                           initial_condition=[1.0, 2.0])
+        assert m._probe_ic_wrap_incompatible() is False
+    assert not [w for w in rec if "could not probe" in str(w.message)]
+
+
+def test_lbfgs_ignored_lr_warns():
+    solver = Solver(_ode, ndims=1, initial_condition=0.5, seed=0)
+    with pytest.warns(UserWarning, match="linesearch"):
+        solver.fit(niters=3, batch_size=32, optimizer="LBFGS", lr=0.1,
+                   resample=False, progress=False)
+
+
+def test_fast_taps_typo_raises():
+    solver = Solver(_ode, ndims=1, initial_condition=0.5, seed=0)
+    with pytest.raises(ValueError, match="fast_taps"):
+        solver.fit(niters=3, batch_size=32, fast_taps="Never",
+                   progress=False)

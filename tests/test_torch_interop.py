@@ -97,3 +97,20 @@ def test_unsupported_torch_function_raises_helpfully():
 
     with pytest.raises(TypeError, match="pydens_tpu"):
         Solver(bad, ndims=1, initial_condition=1)
+
+
+def test_torch_max_min_elementwise():
+    # torch.max/min with two array args is ELEMENTWISE (jnp.max's second
+    # positional is an axis) — the obstacle-problem spelling must port.
+    from pydens_tpu.ops.tokens import EvalContext, as_array
+
+    leaves = [np.linspace(0.1, 0.9, 5, dtype=np.float32).reshape(5, 1)]
+    ctx = EvalContext(leaves)
+    x = Expr(lambda ls: ls[0], ctx, leaf_index=0)
+    xv = leaves[0]
+    np.testing.assert_allclose(
+        np.asarray(as_array(torch.max(x, 0.5 - x))),
+        np.maximum(xv, 0.5 - xv), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(as_array(torch.min(x, torch.tensor(0.3)))),
+        np.minimum(xv, 0.3), rtol=1e-6)
