@@ -704,7 +704,7 @@ class Solver:
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
                cfg["use_plan"], cfg["balance_every"], cfg["stop_on_nan"],
-               cfg["causal"],
+               cfg["causal"], cfg["rba"],
                # The fused-Taylor decision happens at trace time inside the
                # model; key the EFFECTIVE toggle (reachable only on the plan
                # path, and only the exact value 'always' turns it on —
@@ -727,6 +727,7 @@ class Solver:
         # (its weight stays at the user's value; the others adapt to it).
         anchor_idx = 0
         adaptive = cfg["adaptive"]
+        rba = cfg["rba"]
         opt = cfg["opt"]
         mask = cfg["mask"]
         all_trainable = all(jax.tree.leaves(mask))
@@ -836,11 +837,12 @@ class Solver:
                 return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
 
             def body(i, state):
-                if balance_every:
-                    (theta, opt_state, wts), losses = state
-                else:
-                    (theta, opt_state), losses = state
-                    wts = None
+                # Carry layout: (theta, opt_state[, wts][, rba_w]) — the
+                # optional tails keyed by the static balance_every/rba cfg.
+                carry_t, losses = state
+                theta, opt_state = carry_t[0], carry_t[1]
+                wts = carry_t[2] if balance_every else None
+                rba_w = carry_t[-1] if rba else None
                 if adaptive:
                     # Residual-based adaptive refinement: draw `adaptive` x
                     # batch candidates and build a hybrid batch — half
@@ -899,6 +901,20 @@ class Solver:
                     theta = jax.lax.with_sharding_constraint(
                         theta, theta_sharding)
                 leaves = [pts[:, c:c + 1] for c in range(total)]
+                if rba:
+                    # Residual-based attention: EMA the normalized CURRENT
+                    # residual magnitude into per-point weights; the loss
+                    # path multiplies the residual by sqrt(point_weight),
+                    # so passing w^2 realizes the mean((w*r)^2) objective.
+                    eta, gamma = rba
+                    if n_models > 1:
+                        r = jax.vmap(flat_residual, in_axes=(0, None))(
+                            theta, leaves).mean(axis=0)[:, 0]
+                    else:
+                        r = flat_residual(theta, leaves)[:, 0]
+                    rba_w = jax.lax.stop_gradient(
+                        gamma * rba_w + eta * r / (jnp.max(r) + 1e-30))
+                    point_weight = rba_w * rba_w
                 if balance_every:
                     # Warmup-only rebalancing (10 EMA updates): the
                     # term-scale mismatch this corrects is visible from the
@@ -957,8 +973,11 @@ class Solver:
                 else:
                     updates, opt_state = opt.update(grad, opt_state, theta)
                 theta = optax.apply_updates(theta, updates)
-                new_carry = ((theta, opt_state, wts) if balance_every
-                             else (theta, opt_state))
+                new_carry = (theta, opt_state)
+                if balance_every:
+                    new_carry += (wts,)
+                if rba:
+                    new_carry += (rba_w,)
                 return new_carry, losses.at[i].set(loss)
 
             losses = jnp.zeros((chunk,), dtype)
@@ -1011,7 +1030,8 @@ class Solver:
             progress="auto", chunk_size=500, profile_dir=None, resample=True,
             adaptive=None, fast_taps="auto", callback=None,
             loss_balancing=None, checkpoint_path=None, checkpoint_every=None,
-            stop_on_nan=True, causal=None, causal_axis=None, **kwargs):
+            stop_on_nan=True, causal=None, causal_axis=None, rba=None,
+            **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -1072,6 +1092,20 @@ class Solver:
         term with the MSE criterion, and is exclusive with ``adaptive``.
         ``causal=0.0`` is exactly plain MSE (tested), so ``eps`` can be
         annealed across fit calls.
+
+        ``rba=True`` (or ``eta``, or ``(eta, gamma)``; defaults
+        ``eta=0.01, gamma=0.999``) enables residual-based attention
+        (Anagnostopoulos et al. 2023-style): per-collocation-point
+        multiplicative weights updated every iteration as
+        ``w_i <- gamma * w_i + eta * |r_i| / max_j |r_j|`` from the
+        current residual field, loss ``mean((w_i * r_i)^2)`` — stubborn
+        points (sharp fronts, stiff layers) accumulate attention instead
+        of being averaged away.  The weights track FIXED collocation
+        points, so ``resample=False`` is required (one batch per fit);
+        each iteration pays one extra forward residual evaluation.
+        Exclusive with ``adaptive``/``causal`` (competing per-point
+        schemes), MSE criterion only, Adam-phase only (linesearch
+        optimizers assume a fixed objective).
 
         ``stop_on_nan=True`` (the default) arms a divergence guard: the
         compiled loop checks each iteration's loss device-side and exits at
@@ -1185,6 +1219,56 @@ class Solver:
                     "use criterion='MSELoss' (or a custom callable you "
                     "know composes with sqrt-weighting)")
 
+        rba_cfg = None
+        if rba is not None and rba is not False:
+            # Residual-based attention (Anagnostopoulos et al.-style):
+            # per-collocation-point multiplicative weights
+            # ``w_i <- gamma*w_i + eta*|r_i|/max_j |r_j|`` updated every
+            # iteration from the CURRENT residual field, loss
+            # ``mean((w_i r_i)^2)`` — stubborn points accumulate attention.
+            # Spellings: True (eta=0.01, gamma=0.999), eta, (eta, gamma).
+            if rba is True:
+                eta, gamma = 0.01, 0.999
+            elif isinstance(rba, (tuple, list)) and len(rba) == 2:
+                eta, gamma = float(rba[0]), float(rba[1])
+            elif isinstance(rba, (int, float)):
+                eta, gamma = float(rba), 0.999
+            else:
+                raise ValueError(
+                    f"rba={rba!r} not understood; use True, eta, or "
+                    "(eta, gamma)")
+            if not (eta > 0 and 0 <= gamma < 1):
+                raise ValueError("rba needs eta > 0 and 0 <= gamma < 1")
+            if resample:
+                raise ValueError(
+                    "rba weights track FIXED collocation points across "
+                    "iterations; pass resample=False (one batch for the "
+                    "whole fit)")
+            if adaptive is not None:
+                raise ValueError("rba and adaptive are both per-point "
+                                 "residual reweighting schemes — use one")
+            if causal is not None:
+                raise ValueError(
+                    "rba point weights are not applied inside the causal "
+                    "bin weighting — use one of the two")
+            if self.formulation == "variational":
+                raise ValueError(
+                    "rba weights the strong-form residual; it is undefined "
+                    "for a variational (Deep Ritz) energy")
+            if "equation" not in dict(loss_terms):
+                raise ValueError("rba weights the equation residual; "
+                                 "include 'equation' in loss_terms")
+            if (isinstance(criterion_key, str)
+                    and criterion_key not in ("mseloss", "mse")):
+                raise ValueError("rba is defined for the MSE criterion "
+                                 "(loss mean((w*r)^2))")
+            if self._opt_needs_value_fn:
+                raise ValueError(
+                    "rba changes the objective every iteration; linesearch "
+                    "optimizers (LBFGS) assume a fixed one — run rba during "
+                    "the Adam phase, then polish without it")
+            rba_cfg = (eta, gamma)
+
         causal_eps = 0.0
         if causal is None and causal_axis is not None:
             raise ValueError(
@@ -1272,7 +1356,8 @@ class Solver:
                    sampler=sampler, sampler_key=sampler_key,
                    resample=bool(resample), adaptive=adaptive,
                    balance_every=balance_every, stop_on_nan=bool(stop_on_nan),
-                   causal=causal, needs_value_fn=self._opt_needs_value_fn)
+                   causal=causal, rba=rba_cfg,
+                   needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
         if fresh_optimizer or self._opt_state is None:
             theta, self._opt_state = prep(self.model.params)
@@ -1359,6 +1444,10 @@ class Solver:
                      jnp.asarray(init_wts, self.model.dtype))
         else:
             carry = (theta, self._opt_state)
+        if rba_cfg is not None:
+            # Per-point attention weights, reset each fit (the fixed batch
+            # is redrawn per fit, so carried weights would be stale).
+            carry += (jnp.ones((int(batch_size),), self.model.dtype),)
         if self._mesh_mp:
             # Assemble per-process host-local state into replicated global
             # arrays (already-global leaves pass through) — a mesh-sharded
@@ -1462,11 +1551,9 @@ class Solver:
             donated_dead = (isinstance(carry[0], jax.Array)
                             and carry[0].is_deleted())
             if not donated_dead:
+                theta, self._opt_state = carry[0], carry[1]
                 if balance_every:
-                    theta, self._opt_state, wts = carry
-                    balanced_weights = np.asarray(wts).tolist()
-                else:
-                    theta, self._opt_state = carry
+                    balanced_weights = np.asarray(carry[2]).tolist()
                 self.model.params = self._unflatten_jit(theta)
             self.losses.extend(drain_losses())
 
