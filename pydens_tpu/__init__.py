@@ -17,7 +17,8 @@ from .ops.math import (sin, cos, tan, arcsin, arccos, arctan, arctan2, sinh,
                        cosh, tanh, exp, expm1, log, log1p, log2, log10, sqrt,
                        square, power, sign, maximum, minimum, where, clip,
                        sigmoid, softplus, erf)
-from .models import Model, ConvBlockModel, TorchModel, FlaxModel, flax_model
+from .models import (Model, ConvBlockModel, TorchModel, FlaxModel,
+                     flax_model, SeparableModel)
 from .solver import Solver
 from .samplers import (Sampler, NumpySampler, NS, ConstantSampler,
                        HistoSampler, ScipySampler, ProductSampler,
@@ -34,6 +35,7 @@ __all__ = [
     "grad", "div", "laplace", "hessian_diag", "dt", "dn",
     "cart_prod", "uniform_grid",
     "Model", "ConvBlockModel", "TorchModel", "FlaxModel", "flax_model",
+    "SeparableModel",
     "Sampler", "NumpySampler", "NS", "ConstantSampler", "HistoSampler",
     "ScipySampler", "ProductSampler", "MixtureSampler", "GeometrySampler",
     "BoundarySampler", "HaltonSampler",

@@ -519,6 +519,13 @@ class Model:
         u = self.network_apply(params["net"], xs)
         return self.anzatc(u, xs, params)
 
+    def apply_leaves(self, params, leaves):
+        """Equation-path forward on the Solver's per-coordinate leaf
+        columns.  The base model stacks them back into the ``(N, total)``
+        batch; SeparableModel overrides this with the factorized
+        tensor-product-grid path (models/separable.py)."""
+        return self.apply(params, jnp.concatenate(leaves, axis=1))
+
     def anzatc(self, u, xs, params):
         """Ansatz transform binding boundary/initial conditions exactly.
 

@@ -233,6 +233,7 @@ class Solver:
         self._step_cache = {}
         self._residual_jit = None
         self._grad_jit = None
+        self._grid_eval_jit = None
 
         # Initialize network parameters, then discover V-token variables with
         # a fake run of model + equation + constraints (superset of the
@@ -255,8 +256,8 @@ class Solver:
             # must not be poisoned by D-use inside constraints (which always
             # evaluate through the universal nested-jvp closures).
             ctx = EvalContext(leaves)
-            f = Expr(lambda ls: self.model.apply(
-                params_, jnp.concatenate(ls, axis=1)), ctx, deriv=())
+            f = Expr(lambda ls: self.model.apply_leaves(params_, ls),
+                     ctx, deriv=())
             coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                       for k in range(total)]
             try:
@@ -291,6 +292,40 @@ class Solver:
         params["variables"] = {name: jnp.asarray(value, dtype)
                                for name, value in registry.items()}
         self._initial_variables = dict(registry)
+
+        if getattr(self.model, "separable", False):
+            # Grid-shape probe: trace the equation once on broadcast-shaped
+            # axis leaves with DISTINCT sizes and reject any residual that
+            # collapses a grid axis.  The classic trap is reference-style
+            # component slicing `f[:, 0:1]` — axis 1 of a separable field is
+            # a GRID axis, so that silently trains on a wrong slice; the
+            # portable spelling `f[..., k:k+1]` works for both model kinds.
+            sizes = tuple(2 + k for k in range(total))
+            grid_dummy = [
+                jax.ShapeDtypeStruct(
+                    (1,) * k + (sizes[k],) + (1,) * (total - k), dtype)
+                for k in range(total)]
+
+            def _grid_probe(params_, leaves):
+                ctx = EvalContext(leaves)
+                f = Expr(lambda ls: self.model.apply_leaves(params_, ls),
+                         ctx, deriv=())
+                coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
+                          for k in range(total)]
+                return [as_array(r)
+                        for r in _as_residual_list(self.equation(f, *coords))]
+
+            with variable_scope("read", registry):
+                res_shapes = jax.eval_shape(_grid_probe, params, grid_dummy)
+            for j, r in enumerate(res_shapes):
+                if tuple(r.shape[:total]) != sizes:
+                    raise ValueError(
+                        f"residual {j} of the equation has shape {r.shape} "
+                        f"on a {sizes} collocation grid — a grid axis was "
+                        "collapsed.  On a separable model the field is "
+                        "grid-shaped: slice solution components with "
+                        "f[..., k:k+1] (not the pointwise f[:, k:k+1]) and "
+                        "keep all math elementwise/broadcasting")
 
         # Single-model parameter template (defines the flatten spec and the
         # per-model structure even when training an ensemble).
@@ -547,8 +582,8 @@ class Solver:
             adaptive sampling is rejected in that mode)."""
             with variable_scope("read", params["variables"]):
                 ctx = make_ctx(params, leaves)
-                f = Expr(lambda ls: model.apply(
-                    params, jnp.concatenate(ls, axis=1)), ctx, deriv=())
+                f = Expr(lambda ls: model.apply_leaves(params, ls),
+                         ctx, deriv=())
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
                 acc = jnp.zeros_like(leaves[0])
@@ -574,8 +609,8 @@ class Solver:
             recompiles."""
             with variable_scope("read", params["variables"]):
                 ctx = make_ctx(params, leaves)
-                f = Expr(lambda ls: model.apply(
-                    params, jnp.concatenate(ls, axis=1)), ctx, deriv=())
+                f = Expr(lambda ls: model.apply_leaves(params, ls),
+                         ctx, deriv=())
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
                 terms = []
@@ -736,6 +771,20 @@ class Solver:
         total = self.model.total
         dtype = self.model.dtype
         sampler = cfg["sampler"]
+        # Separable models train on the tensor-product grid of per-axis
+        # samples: column c of the (batch, total) sample becomes axis c's
+        # points (batch_size = points PER AXIS; batch_size**total effective
+        # collocation points per iteration).  The default sampler draws
+        # U(domain) per axis — the reference's ignore-domain quirk is a
+        # pointwise-parity behavior; SeparableModel has no reference
+        # counterpart, so it samples the declared domain (parameter columns
+        # stay U(0, 1)).
+        separable = getattr(self.model, "separable", False)
+        if separable:
+            dom = (list(self.model.domain)
+                   + [(0.0, 1.0)] * self.model.nparams)
+            sep_lo = np.asarray([d[0] for d in dom], np.float32)
+            sep_span = np.asarray([d[1] - d[0] for d in dom], np.float32)
         device_sampling = cfg["sampler_key"] != "host"
         resample = cfg["resample"]
         needs_value_fn = cfg["needs_value_fn"]
@@ -787,6 +836,8 @@ class Solver:
                     # per dim and IGNORES `domain` (model_torch.py:431).
                     pts_all = jax.random.uniform(
                         chunk_key, (n_batches, batch_size, total), dtype)
+                    if separable:  # no quirk to keep: sample the domain
+                        pts_all = sep_lo + sep_span * pts_all
                 else:
                     pts_all = jnp.asarray(
                         sampler.sample_device(chunk_key,
@@ -900,7 +951,17 @@ class Solver:
                     # batch — composed ensemble x data parallelism.
                     theta = jax.lax.with_sharding_constraint(
                         theta, theta_sharding)
-                leaves = [pts[:, c:c + 1] for c in range(total)]
+                if separable:
+                    # Broadcast-shaped axis leaves: axis c's points live on
+                    # grid axis c (trailing size-1 channel axis), so plain
+                    # elementwise equation math broadcasts to the full
+                    # tensor-product grid and a D(f, x_c) jvp tap
+                    # differentiates only axis c's MLP.
+                    leaves = [pts[:, c].reshape(
+                        (1,) * c + (batch_size,) + (1,) * (total - c))
+                        for c in range(total)]
+                else:
+                    leaves = [pts[:, c:c + 1] for c in range(total)]
                 if rba:
                     # Residual-based attention: EMA the normalized CURRENT
                     # residual magnitude into per-point weights; the loss
@@ -1268,6 +1329,28 @@ class Solver:
                     "optimizers (LBFGS) assume a fixed one — run rba during "
                     "the Adam phase, then polish without it")
             rba_cfg = (eta, gamma)
+
+        if getattr(self.model, "separable", False):
+            # Tensor-product-grid training: per-POINT machinery (adaptive
+            # refinement, causal bins, RBA weights) assumes a flat batch of
+            # independent points; the mesh batch-sharding layout assumes a
+            # (batch, total) point matrix.  All are rejected explicitly
+            # rather than silently mis-weighting the grid.
+            if adaptive is not None:
+                raise ValueError("adaptive collocation is per-point; a "
+                                 "separable model trains on a tensor-product "
+                                 "grid — drop adaptive=")
+            if causal is not None:
+                raise ValueError("causal weighting is not implemented for "
+                                 "separable grid training yet")
+            if rba_cfg is not None:
+                raise ValueError("rba weights are per flat batch point; not "
+                                 "supported for separable grid training")
+            if self.mesh is not None:
+                raise ValueError("mesh data parallelism over the separable "
+                                 "grid is not supported yet — a single chip "
+                                 "already evaluates batch_size**ndims points "
+                                 "per step")
 
         causal_eps = 0.0
         if causal is None and causal_axis is not None:
@@ -1684,6 +1767,48 @@ class Solver:
         if self.n_models > 1:
             out = out.mean(axis=0)
         return np.asarray(out)
+
+    def predict_grid(self, *axes):
+        """Evaluate the trained solution on the tensor-product grid of the
+        given 1-D per-axis arrays; returns ``(N_1, ..., N_d, n_out)``.
+
+        For a :class:`~pydens_tpu.SeparableModel` this uses the factorized
+        path — ``d`` small MLP evaluations plus one einsum, so dense
+        visualization/verification grids (e.g. ``256**3`` points) cost
+        almost nothing; axis lengths are padded to power-of-two buckets so
+        a sweep of grid sizes reuses one compiled executable.  Other models
+        fall back to ``meshgrid`` + :meth:`predict` (pointwise cost)."""
+        total = self.model.total
+        if len(axes) != total:
+            raise ValueError(f"predict_grid needs one 1-D array per input "
+                             f"column ({total}), got {len(axes)}")
+        dt = jax.dtypes.canonicalize_dtype(self.model.dtype)
+        axes = [np.asarray(a, dt).ravel() for a in axes]
+        if not getattr(self.model, "separable", False):
+            grids = np.meshgrid(*axes, indexing="ij")
+            out = self.predict(*[g.ravel() for g in grids])
+            return out.reshape(grids[0].shape + (out.shape[-1],))
+        if self._grid_eval_jit is None:
+            model = self.model
+            if self.n_models > 1:
+                def fn(params, leaves):
+                    return jax.vmap(model.apply_leaves,
+                                    in_axes=(0, None))(params,
+                                                       leaves).mean(axis=0)
+            else:
+                fn = model.apply_leaves
+            self._grid_eval_jit = jax.jit(fn)
+        ns = [a.size for a in axes]
+        padded = []
+        for k, a in enumerate(axes):
+            b = 64
+            while b < a.size:
+                b *= 2
+            if b > a.size:  # repeat-last-row padding, as pad_to_bucket
+                a = np.concatenate([a, np.broadcast_to(a[-1:], (b - a.size,))])
+            padded.append(a.reshape((1,) * k + (-1,) + (1,) * (total - k)))
+        out = np.asarray(self._grid_eval_jit(self.model.params, padded))
+        return out[tuple(slice(0, n) for n in ns)]
 
     def predict_all(self, *xs):
         """Per-model predictions, shape ``(n_models, N, n_out)``."""
