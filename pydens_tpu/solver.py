@@ -614,7 +614,41 @@ class Solver:
                 coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
                           for k in range(total)]
                 terms = []
-                if eq_weight is not None and causal is not None:
+                if (eq_weight is not None and causal is not None
+                        and leaves[0].ndim > 2):
+                    # Causal weighting on a separable grid: the time axis is
+                    # an explicit grid axis, so instead of the pointwise
+                    # 32-bin histogram each time SAMPLE gets its exact
+                    # slice-mean residual; weights follow the same
+                    # exp(-eps * normalized cumulative earlier-residual)
+                    # schedule (time samples sorted by value — they arrive
+                    # unsorted from the axis sampler), stop_gradient'ed and
+                    # self-normalized exactly like the pointwise form, so
+                    # eps=0 is plain MSE and eps anneals without recompiles.
+                    t_idx, t_lo, t_hi = causal
+                    eps = causal_eps
+                    sq = jnp.asarray(0.0, dtype)
+                    for res in _as_residual_list(equation(f, *coords)):
+                        res = as_array(res)
+                        if res.ndim == total:  # component axis already gone
+                            res = res[..., None]
+                        sq = sq + jnp.mean(res * res, axis=-1)
+                    other = tuple(a for a in range(total) if a != t_idx)
+                    L = jnp.mean(sq, axis=other)  # (N_t,) slice means
+                    tvals = leaves[t_idx].reshape(-1)
+                    order = jnp.argsort(tvals)
+                    cum = jnp.concatenate([jnp.zeros((1,), dtype),
+                                           jnp.cumsum(L[order])[:-1]])
+                    cum = cum / jnp.maximum(cum[-1] + L[order][-1], 1e-30)
+                    w_sorted = jnp.exp(-eps * cum)
+                    w = jnp.zeros_like(w_sorted).at[order].set(w_sorted)
+                    w = jax.lax.stop_gradient(w)
+                    w_b = w.reshape((1,) * t_idx + (-1,)
+                                    + (1,) * (total - 1 - t_idx))
+                    n_other = sq.size // w.size  # static grid cross-section
+                    terms.append(jnp.sum(w_b * sq)
+                                 / jnp.maximum(jnp.sum(w) * n_other, 1e-30))
+                elif eq_weight is not None and causal is not None:
                     # Causal weighting (Wang/Sankaran/Perdikaris-style):
                     # partition the batch into M time bins; bin i's mean
                     # squared residual L_i is down-weighted by
@@ -942,7 +976,8 @@ class Solver:
                 else:
                     pts = pts_all[i] if resample else pts_all[0]
                     point_weight = None
-                if mesh is not None and batch_sharding is not None:
+                if (mesh is not None and batch_sharding is not None
+                        and not separable):
                     pts = jax.lax.with_sharding_constraint(
                         pts, batch_sharding)
                 if mesh is not None and theta_sharding is not None:
@@ -960,6 +995,16 @@ class Solver:
                     leaves = [pts[:, c].reshape(
                         (1,) * c + (batch_size,) + (1,) * (total - c))
                         for c in range(total)]
+                    if mesh is not None and data_axis:
+                        # Grid data parallelism: shard GRID AXIS 0 (axis 0's
+                        # sample rows).  Every downstream tensor — axis-0
+                        # features, the einsum'd residual grid — inherits a
+                        # leading sharded axis, and XLA inserts one psum for
+                        # the loss mean; the other axes' tiny MLP evals
+                        # replicate.
+                        leaves[0] = jax.lax.with_sharding_constraint(
+                            leaves[0], NamedSharding(
+                                mesh, P(data_axis, *(None,) * total)))
                 else:
                     leaves = [pts[:, c:c + 1] for c in range(total)]
                 if rba:
@@ -1340,17 +1385,9 @@ class Solver:
                 raise ValueError("adaptive collocation is per-point; a "
                                  "separable model trains on a tensor-product "
                                  "grid — drop adaptive=")
-            if causal is not None:
-                raise ValueError("causal weighting is not implemented for "
-                                 "separable grid training yet")
             if rba_cfg is not None:
                 raise ValueError("rba weights are per flat batch point; not "
                                  "supported for separable grid training")
-            if self.mesh is not None:
-                raise ValueError("mesh data parallelism over the separable "
-                                 "grid is not supported yet — a single chip "
-                                 "already evaluates batch_size**ndims points "
-                                 "per step")
 
         causal_eps = 0.0
         if causal is None and causal_axis is not None:

@@ -140,21 +140,44 @@ def test_separable_validation_errors():
     with pytest.raises(ValueError, match="arch"):
         Solver(_poisson2, ndims=2, boundary_condition=0.0,
                model=SeparableModel, arch="modified")
+def test_causal_grid_zero_equals_plain_and_runs():
+    # Grid causal weighting: exact per-time-slice means instead of the
+    # pointwise 32-bin histogram; eps=0 must reduce to plain MSE exactly
+    # and a positive eps must train finitely.
+    def conv(f, x, t):
+        return D(f, t) + 2.0 * D(f, x)
+
+    def mk():
+        return Solver(conv, ndims=2, model=SeparableModel, periodic=(0,),
+                      initial_condition=lambda x: pdt.sin(2 * np.pi * x),
+                      layout="fa fa f", features=[16, 16, 16],
+                      activation="Tanh", seed=0)
+
+    a = mk()
+    a.fit(niters=50, batch_size=24, progress=False)
+    b = mk()
+    b.fit(niters=50, batch_size=24, causal=0.0, progress=False)
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-5, atol=1e-7)
+    c = mk()
+    c.fit(niters=50, batch_size=24, causal=5.0, progress=False)
+    assert np.isfinite(c.losses).all()
+
+
+def test_mesh_grid_data_parallel_matches_single():
+    # Grid DP shards grid axis 0 across the mesh; same seed/config must
+    # reproduce the unsharded trajectory (XLA inserts the psum for the
+    # loss mean — numerics match to reduction-order noise).
     from pydens_tpu.parallel import make_mesh
-    sm = Solver(_poisson2, ndims=2, boundary_condition=0.0,
-                model=SeparableModel, layout="fa f", features=[8, 4],
-                mesh=make_mesh())
-    with pytest.raises(ValueError, match="mesh"):
-        sm.fit(niters=1, batch_size=8, progress=False)
 
-    def heat(f, x, t):
-        return D(f, t) - D(D(f, x), x)
+    def run(mesh):
+        s = Solver(_poisson2, ndims=2, boundary_condition=0.0,
+                   model=SeparableModel, layout="fa f", features=[16, 8],
+                   seed=0, mesh=mesh)
+        s.fit(niters=40, batch_size=16, progress=False)
+        return np.asarray(s.losses)
 
-    st = Solver(heat, ndims=2, model=SeparableModel,
-                initial_condition=lambda x: pdt.sin(np.pi * x),
-                layout="fa f", features=[8, 4], seed=0)
-    with pytest.raises(ValueError, match="causal"):
-        st.fit(niters=1, batch_size=8, causal=1.0, progress=False)
+    np.testing.assert_allclose(run(None), run(make_mesh()),
+                               rtol=2e-4, atol=1e-6)
 
 
 def test_checkpoint_roundtrip(tmp_path):
