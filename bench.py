@@ -197,6 +197,36 @@ def bench_convection():
     return float(np.linalg.norm(pred - true) / np.linalg.norm(true))
 
 
+def bench_separable():
+    """Separable-PINN scaling point: 3D Poisson trained on 32-per-axis
+    tensor-product grids (32^3 = 32,768 collocation points per iteration
+    at three 32-row MLP evals + einsum).  Reports collocation points/s
+    and the rel-L2 after an 800-iteration fit (examples/26's budget)."""
+    import pydens_tpu as pdt
+    from pydens_tpu import Solver, D, SeparableModel
+
+    def pde(f, x, y, z):
+        return (D(D(f, x), x) + D(D(f, y), y) + D(D(f, z), z)
+                + 3 * np.pi ** 2 * pdt.sin(np.pi * x)
+                * pdt.sin(np.pi * y) * pdt.sin(np.pi * z))
+
+    s = Solver(pde, ndims=3, boundary_condition=0.0, model=SeparableModel,
+               layout="fa fa f", features=[32, 32, 32], activation="Tanh",
+               seed=0)
+    n = 800
+    s.fit(niters=n, batch_size=32, lr=2e-3, chunk_size=n, progress=False)
+    s.reset(seed=1)
+    t0 = time.perf_counter()
+    s.fit(niters=n, batch_size=32, lr=2e-3, chunk_size=n, progress=False)
+    pts_per_s = n * 32 ** 3 / (time.perf_counter() - t0)
+    g = np.linspace(0, 1, 33)
+    pred = s.predict_grid(g, g, g)[..., 0]
+    sg = np.sin(np.pi * g)
+    true = sg[:, None, None] * sg[None, :, None] * sg[None, None, :]
+    rel = float(np.linalg.norm(pred - true) / np.linalg.norm(true))
+    return pts_per_s, rel
+
+
 def bench_torch_reference():
     """Reference-semantics torch loop (CPU), probed for TORCH_PROBE_ITERS
     iterations and extrapolated to a rate."""
@@ -334,6 +364,11 @@ def main():
             convection_l2 = bench_convection()
         except Exception as err:
             print(f"# convection bench failed: {err}", file=sys.stderr)
+    sep_pts = sep_rel = None
+    try:
+        sep_pts, sep_rel = bench_separable()
+    except Exception as err:
+        print(f"# separable bench failed: {err}", file=sys.stderr)
 
     baseline_rate = None
     baseline_loss = None
@@ -370,6 +405,12 @@ def main():
         # periodic convection c=10, 40k iters — examples/20's recipe.
         "convection_c10_rel_l2": (round(convection_l2, 5)
                                   if convection_l2 is not None else None),
+        # Separable-PINN scaling point: 3D Poisson on 32^3-point grid
+        # iterations (examples/26; BENCHMARKS.md "Separable PINN").
+        "separable3d_pts_per_sec": (round(sep_pts, 0)
+                                    if sep_pts is not None else None),
+        "separable3d_rel_l2": (round(sep_rel, 5)
+                               if sep_rel is not None else None),
         "backend": backend,
         "baseline_iters_per_sec": round(baseline_rate, 1)
         if baseline_rate else None,
