@@ -180,6 +180,22 @@ def test_mesh_grid_data_parallel_matches_single():
                                rtol=2e-4, atol=1e-6)
 
 
+def test_parametric_axis():
+    # nparams columns become extra grid axes: the whole parameter family
+    # trains on a (x, e) tensor grid (param axis sampled U(0,1)).
+    def pde(f, x, e):
+        return D(f, x) - e
+
+    s = Solver(pde, ndims=1, nparams=1, model=SeparableModel,
+               initial_condition=0.0, layout="fa fa f",
+               features=[16, 16, 16], activation="Tanh", seed=0)
+    s.fit(niters=400, batch_size=32, lr=2e-3, progress=False)
+    xs = np.linspace(0, 1, 9)
+    for e in (0.2, 0.8):
+        pred = s.predict(xs, np.full_like(xs, e)).ravel()
+        np.testing.assert_allclose(pred, e * xs, atol=0.02)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     s = Solver(_poisson2, ndims=2, boundary_condition=0.0,
                model=SeparableModel, layout="fa f", features=[12, 6], seed=0)
