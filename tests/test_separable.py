@@ -211,6 +211,18 @@ def test_checkpoint_roundtrip(tmp_path):
                                rtol=1e-6)
 
 
+def test_export_roundtrip():
+    # The serving path is the pointwise product form — the same
+    # shape-polymorphic export artifact works for separable models.
+    from pydens_tpu import load_exported
+    s = Solver(_poisson2, ndims=2, boundary_condition=0.0,
+               model=SeparableModel, layout="fa f", features=[12, 6], seed=0)
+    s.fit(niters=30, batch_size=16, progress=False)
+    fn = load_exported(s.export())
+    xs = np.random.default_rng(0).random((17, 2), dtype=np.float32)
+    np.testing.assert_allclose(fn(xs), s.predict(xs), rtol=1e-5, atol=1e-6)
+
+
 def test_predict_grid_fallback_pointwise_model():
     # Non-separable models get the meshgrid+predict fallback with the same
     # output contract.
