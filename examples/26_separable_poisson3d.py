@@ -27,7 +27,7 @@ import pydens_tpu as pdt
 from pydens_tpu import Solver, D, SeparableModel
 
 
-def main(niters=800):
+def main(niters=500):
     def poisson(f, x, y, z):
         return (D(D(f, x), x) + D(D(f, y), y) + D(D(f, z), z)
                 + 3 * np.pi ** 2 * pdt.sin(np.pi * x)

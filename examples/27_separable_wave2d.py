@@ -11,7 +11,7 @@ changes the economics: every iteration trains the FULL 32³ space-time
 grid (32 768 collocation points for three 32-row MLP evaluations), so
 the oscillation is always densely sampled, and both initial conditions
 bind exactly through the squared time-gate (``initial_condition_t``) —
-1000 plain-Adam iterations reach ~0.3% rel-L2 with no scheduling at all.
+700 plain-Adam iterations reach ~0.2% rel-L2 with no scheduling at all.
 
 See examples/26 for the separable mechanics and BENCHMARKS.md
 "Separable PINN" for throughput; no reference counterpart.
@@ -23,7 +23,7 @@ import pydens_tpu as pdt
 from pydens_tpu import Solver, D, SeparableModel
 
 
-def main(niters=1000):
+def main(niters=700):
     def wave(f, x, y, t):
         return D(D(f, t), t) - D(D(f, x), x) - D(D(f, y), y)
 
