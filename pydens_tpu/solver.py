@@ -38,7 +38,7 @@ from .parallel.distributed import (is_multi_process, to_global_replicated,
                                    global_batch)
 from .ops.tokens import Expr, EvalContext, variable_scope, as_array, D
 from .utils.criteria import resolve_criterion
-from .utils.optimizers import resolve_optimizer
+from .utils.optimizers import resolve_optimizer, LMConfig
 
 __all__ = ["Solver"]
 
@@ -738,8 +738,36 @@ class Solver:
                     loss = loss + w * t
             return loss
 
+        def resvec_fn(params, leaves):
+            """Stacked scaled residual vector r with ``loss_fn == sum(r**2)``
+            exactly (MSE criterion, plain weighting): each term's residual
+            block is flattened and scaled by ``sqrt(weight / block.size)``,
+            so the Gauss-Newton normal equations target the same objective
+            the first-order phase minimized.  Used only by the LM optimizer
+            (fit rejects causal/adaptive/rba/variational there)."""
+            with variable_scope("read", params["variables"]):
+                ctx = make_ctx(params, leaves)
+                f = Expr(lambda ls: model.apply_leaves(params, ls),
+                         ctx, deriv=())
+                coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
+                          for k in range(total)]
+                blocks = []
+                if eq_weight is not None:
+                    for res in _as_residual_list(equation(f, *coords)):
+                        res = as_array(res)
+                        blocks.append(res.reshape(-1)
+                                      * (eq_weight / res.size) ** 0.5)
+                if nums:
+                    fwd = self._make_forward(params, ctx)
+                    for num, w in nums:
+                        c = as_array(constraints[num](fwd, *coords))
+                        blocks.append(c.reshape(-1) * (w / c.size) ** 0.5)
+            if not blocks:
+                return jnp.zeros((1,), dtype)
+            return jnp.concatenate(blocks)
+
         loss_fn.term_order = term_order
-        return loss_fn, point_residual
+        return loss_fn, point_residual, resvec_fn
 
     def _flatten_spec(self):
         """Single-model flatten spec (ensemble stacking sits outside it)."""
@@ -785,7 +813,7 @@ class Solver:
         if key in self._step_cache:
             return self._step_cache[key]
 
-        loss_fn, point_residual = self._build_loss_fn(
+        loss_fn, point_residual, resvec_fn = self._build_loss_fn(
             cfg["loss_terms"], cfg["criterion"], use_plan=cfg["use_plan"],
             causal=cfg["causal"])
         balance_every = cfg["balance_every"]
@@ -847,6 +875,15 @@ class Solver:
 
         def flat_residual(theta, leaves):
             return point_residual(_unflatten(flatten_spec, theta), leaves)
+
+        def flat_resvec(theta, leaves):
+            return resvec_fn(_unflatten(flatten_spec, theta), leaves)
+
+        # Levenberg-Marquardt routes around optax entirely: its update needs
+        # the residual VECTOR function (for matrix-free JᵀJ products), not a
+        # scalar loss/grad, and its only state is the damping scalar (which
+        # rides in the carry's opt_state slot).
+        gn = opt if isinstance(opt, LMConfig) else None
 
         stop_on_nan = cfg["stop_on_nan"]
 
@@ -1037,6 +1074,76 @@ class Solver:
                         & (local < 10 * balance_every),
                         lambda w: rebalance(theta, leaves, point_weight, w),
                         lambda w: w, wts)
+                if gn is not None:
+                    # Levenberg-Marquardt (damped Gauss-Newton): solve
+                    # (JᵀJ + λI) d = Jᵀr matrix-free — J·v is one jvp of the
+                    # residual vector, Jᵀ·u its linear transpose; CG never
+                    # materializes the Jacobian.  ``loss == r·r`` equals the
+                    # MSE objective exactly (resvec_fn scaling), so the
+                    # accept test is a true loss decrease: accept ⇒ shrink
+                    # λ toward pure Gauss-Newton, reject ⇒ grow λ toward
+                    # (scaled) gradient descent and keep θ.  Frozen
+                    # parameters stay fixed by restricting CG to the masked
+                    # subspace (b and J·v are masked; x0 = 0 keeps the
+                    # complement at exactly zero).
+                    def gn_update(th, state):
+                        lam, nu = state[0], state[1]
+
+                        def resfn(t):
+                            return flat_resvec(t, leaves)
+                        r, jvp_fn = jax.linearize(resfn, th)
+                        loss = jnp.vdot(r, r)
+                        jt = jax.linear_transpose(jvp_fn, th)
+
+                        def matvec(v):
+                            if not all_trainable:
+                                v = v * mask_vec
+                            u = jt(jvp_fn(v))[0]
+                            if not all_trainable:
+                                u = u * mask_vec
+                            return u + lam.astype(v.dtype) * v
+
+                        b = jt(r)[0]
+                        if not all_trainable:
+                            b = b * mask_vec
+                        d, _ = jax.scipy.sparse.linalg.cg(
+                            matvec, b, tol=gn.cg_tol, maxiter=gn.cg_iters)
+                        trial = th - d
+                        r_t = resfn(trial)
+                        loss_t = jnp.vdot(r_t, r_t)
+                        # Nielsen damping: λ adapts by the gain ratio ρ =
+                        # actual / predicted loss decrease (predicted =
+                        # dᵀ(λd + Jᵀr) ≥ 0 for the PSD normal equations) —
+                        # near-Gauss-Newton steps (ρ≈1) slash λ, poor model
+                        # agreement grows it geometrically (ν doubles per
+                        # consecutive reject).  Measured to remove the
+                        # multi-iteration reject stalls of the plain
+                        # up/down schedule.
+                        actual = loss - loss_t
+                        pred = jnp.vdot(d, lam.astype(d.dtype) * d + b)
+                        rho = actual / jnp.maximum(pred, 1e-30)
+                        accept = jnp.isfinite(loss_t) & (actual > 0)
+                        th = jnp.where(accept, trial, th)
+                        shrink = jnp.maximum(
+                            jnp.float32(gn.damping_down),
+                            1.0 - (2.0 * rho.astype(jnp.float32) - 1.0) ** 3)
+                        lam = jnp.where(
+                            accept,
+                            jnp.maximum(lam * shrink, gn.min_damping),
+                            jnp.minimum(lam * nu, gn.max_damping))
+                        nu = jnp.where(accept, jnp.float32(gn.damping_up),
+                                       jnp.minimum(nu * 2.0, 1e6))
+                        return th, jnp.stack([lam, nu]), loss
+
+                    if n_models > 1:
+                        # Per-member LM: damping, CG solve and accept test
+                        # all vmap over the ensemble axis.
+                        theta, opt_state, loss_k = jax.vmap(gn_update)(
+                            theta, opt_state)
+                        loss = jnp.mean(loss_k)
+                    else:
+                        theta, opt_state, loss = gn_update(theta, opt_state)
+                    return (theta, opt_state), losses.at[i].set(loss)
                 if n_models > 1:
                     # One vmapped step trains the whole ensemble; the loss
                     # recorded is the ensemble mean.
@@ -1121,6 +1228,13 @@ class Solver:
             round-trip when the device sits behind a tunnel)."""
             theta = (_flatten_stacked(params, n_models) if n_models > 1
                      else _flatten_tree(params))
+            if gn is not None:
+                # The whole LM state is (damping λ, reject multiplier ν) —
+                # per-member for ensembles (each accepts independently).
+                s0 = jnp.asarray([gn.init_damping, gn.damping_up],
+                                 jnp.float32)
+                return theta, (jnp.tile(s0, (n_models, 1))
+                               if n_models > 1 else s0)
             if needs_value_fn and n_models > 1:
                 # Linesearch state (history buffers, step counts) must be
                 # per-model — the update vmaps over the ensemble axis.
@@ -1281,6 +1395,34 @@ class Solver:
         elif self._opt is None:
             raise ValueError("fit(optimizer=None) requires a previous fit "
                              "call that created an optimizer")
+        if isinstance(self._opt, LMConfig):
+            # Gauss-Newton linearizes the least-squares residual vector —
+            # it is only defined for the plain (unweighted-in-time/space)
+            # MSE objective.
+            if self.formulation == "variational":
+                raise ValueError(
+                    "optimizer='LM' (Gauss-Newton) minimizes a sum of "
+                    "squared residuals; a variational (Deep Ritz) energy "
+                    "is not a least-squares objective — use "
+                    "formulation='residual'")
+            if (isinstance(criterion_key, str)
+                    and criterion_key not in ("mseloss", "mse")):
+                raise ValueError(
+                    "optimizer='LM' (Gauss-Newton) is defined for the MSE "
+                    "criterion (loss == ||residual||^2)")
+            if adaptive is not None or causal is not None or (
+                    rba is not None and rba is not False):
+                raise ValueError(
+                    "optimizer='LM' (Gauss-Newton) targets the plain MSE "
+                    "residual; per-point/causal reweighting (adaptive/"
+                    "causal/rba) changes the objective every iteration — "
+                    "run those during the Adam phase, then polish with LM")
+            if loss_balancing:
+                raise ValueError(
+                    "optimizer='LM' (Gauss-Newton) already solves the "
+                    "coupled normal equations across all loss terms; "
+                    "grad-norm loss_balancing does not apply — bake fixed "
+                    "weights into loss_terms instead")
         # Sampler path.
         if sampler is None or getattr(sampler, "supports_device", False):
             sampler_key = id(sampler) if sampler is not None else "default"
@@ -1731,7 +1873,7 @@ class Solver:
         the per-model mean, for systems the sum over components.  Returns
         an ``(N, 1)`` numpy array."""
         if self._residual_jit is None:
-            _, point_residual = self._build_loss_fn(
+            _, point_residual, _ = self._build_loss_fn(
                 (("equation", 1.0),), lambda a, b: 0.0,
                 use_plan=bool(self._plan_ok))
             if self.n_models > 1:

@@ -8,7 +8,45 @@ the common names (and their torch-style kwargs: ``betas``, ``eps``,
 
 import optax
 
-__all__ = ["resolve_optimizer"]
+__all__ = ["resolve_optimizer", "LMConfig"]
+
+
+class LMConfig:
+    """Matrix-free Levenberg–Marquardt (damped Gauss–Newton) configuration.
+
+    Not an optax transform: LM needs the *residual vector* function, not a
+    scalar loss/grad, so the Solver routes it through a dedicated update
+    inside the compiled training loop (solver.py).  Per step it solves
+
+        (JᵀJ + λI) d = Jᵀr,     θ ← θ − d  if ‖r(θ−d)‖² < ‖r(θ)‖²
+
+    by matrix-free conjugate gradients (J·v and Jᵀ·u are one ``jax.jvp`` /
+    transpose each — no Jacobian is ever materialized), with Nielsen's
+    gain-ratio damping schedule: on accept λ shrinks by
+    ``max(damping_down, 1-(2ρ-1)³)`` where ρ = actual/predicted decrease,
+    on reject λ grows by a ν that doubles per consecutive reject (reset to
+    ``damping_up`` on accept).  Since ``loss == ‖r‖²`` exactly (MSE
+    criterion), a step is accepted iff it reduces the training loss, so the
+    iteration can stall but never diverge.  The standard high-precision
+    finishing phase for PINN least squares — typically reaches losses
+    orders of magnitude below first-order methods (see BENCHMARKS.md
+    "Gauss-Newton / Levenberg-Marquardt").
+    """
+
+    def __init__(self, cg_iters=50, cg_tol=1e-6, init_damping=1e-3,
+                 damping_down=1.0 / 3.0, damping_up=2.0,
+                 min_damping=1e-12, max_damping=1e12):
+        if int(cg_iters) < 1:
+            raise ValueError("cg_iters must be a positive int")
+        if not (0 < damping_down < 1 < damping_up):
+            raise ValueError("need 0 < damping_down < 1 < damping_up")
+        self.cg_iters = int(cg_iters)
+        self.cg_tol = float(cg_tol)
+        self.init_damping = float(init_damping)
+        self.damping_down = float(damping_down)
+        self.damping_up = float(damping_up)
+        self.min_damping = float(min_damping)
+        self.max_damping = float(max_damping)
 
 
 def _adam_family(factory):
@@ -81,6 +119,16 @@ def _lbfgs(lr, kwargs):
     return optax.lbfgs(learning_rate=None, memory_size=memory_size)
 
 
+def _lm(lr, kwargs):
+    if lr is not None and lr != 0.005:
+        import warnings
+        warnings.warn(
+            "optimizer='LM' (Gauss-Newton) solves for its own step from the "
+            "damped normal equations; the lr argument is ignored",
+            stacklevel=4)
+    return LMConfig(**kwargs)
+
+
 _OPTIMIZERS = {
     "adam": lambda lr, kw: _adam_family(optax.adam)(lr, kw),
     "adamw": lambda lr, kw: _adam_family(optax.adamw)(lr, kw),
@@ -93,6 +141,14 @@ _OPTIMIZERS = {
     "adadelta": _adadelta,
     "lion": _lion,
     "lbfgs": _lbfgs,
+    "lm": _lm,
+    "gn": _lm,
+    "gaussnewton": _lm,
+    "gauss_newton": _lm,
+    "gauss-newton": _lm,
+    "levenbergmarquardt": _lm,
+    "levenberg_marquardt": _lm,
+    "levenberg-marquardt": _lm,
 }
 
 # Optimizers whose optax update() needs (value, grad, value_fn) — i.e. they
@@ -107,6 +163,8 @@ def resolve_optimizer(name, lr, kwargs):
     Also accepts a ready optax ``GradientTransformation`` (passed through) or
     any callable ``f(learning_rate=...) -> GradientTransformation``.
     """
+    if isinstance(name, LMConfig):
+        return name, False
     if isinstance(name, optax.GradientTransformation):
         # ExtraArgs transforms (optax.lbfgs() and friends) need
         # value/grad/value_fn at update time — route them through the
