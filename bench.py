@@ -110,7 +110,8 @@ def bench_large_batch():
         (run_chunk, prep), = big._step_cache.values()
         theta, opt_state = prep(big.model.params)
         args = ((theta, opt_state), jax.random.key(0), np.int32(0),
-                np.int32(0), np.int32(1), np.float32(0.0), np.float32(0.0))
+                np.int32(0), np.int32(1), np.float32(0.0), np.float32(0.0),
+                np.float32(-np.inf))
         cost = run_chunk.lower(*args).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         bytes_per_iter = float(cost["bytes accessed"])

@@ -888,11 +888,14 @@ class Solver:
         stop_on_nan = cfg["stop_on_nan"]
 
         def run_chunk(carry, base_key, start, fit_start, n, host_pts,
-                      causal_eps):
+                      causal_eps, tol):
             """Run ``n <= chunk`` training steps; returns the new carry, a
             ``(chunk,)`` loss buffer and the number of iterations actually
-            run (< ``n`` only when the divergence guard tripped — its first
-            non-finite loss is included in the valid prefix as evidence)."""
+            run (< ``n`` only when the guard tripped: the loss went
+            non-finite, or dropped to ``tol`` or below — ``fit(until_loss=)``
+            convergence-targeted training.  ``tol`` is a traced runtime
+            scalar (-inf when unused), so changing it never recompiles; the
+            triggering loss is included in the valid prefix as evidence)."""
             n_batches = 1 if (adaptive or not resample) else chunk
             if device_sampling:
                 # Sample the whole chunk's collocation points in one RNG op
@@ -1212,11 +1215,18 @@ class Solver:
             def wbody(state):
                 i, s, _ = state
                 s = body(i, s)
-                return i + jnp.int32(1), s, jnp.isfinite(s[1][i])
+                l = s[1][i]
+                # One predicate serves both guards: non-finite losses fail
+                # isfinite (divergence), and a loss at or below ``tol``
+                # stops a convergence-targeted fit (tol = -inf when unused,
+                # so every finite loss passes and the behavior is exactly
+                # the plain divergence guard).
+                return i + jnp.int32(1), s, jnp.isfinite(l) & (l > tol)
 
-            # `ok` must be returned too: a non-finite loss on the chunk's
-            # LAST iteration exits with done == n, indistinguishable from
-            # clean completion by the count alone.
+            # `ok` must be returned too: a guard trip (non-finite loss, or
+            # loss <= tol) on the chunk's LAST iteration exits with
+            # done == n, indistinguishable from clean completion by the
+            # count alone.
             done, (out_carry, losses), ok = jax.lax.while_loop(
                 wcond, wbody,
                 (jnp.int32(0), (carry, losses), jnp.bool_(True)))
@@ -1251,7 +1261,7 @@ class Solver:
             adaptive=None, fast_taps="auto", callback=None,
             loss_balancing=None, checkpoint_path=None, checkpoint_every=None,
             stop_on_nan=True, causal=None, causal_axis=None, rba=None,
-            **kwargs):
+            until_loss=None, **kwargs):
         """Train the model for ``niters`` iterations of ``batch_size``
         collocation points per iteration.
 
@@ -1339,6 +1349,22 @@ class Solver:
         chunks with no host sync (the compiled-loop early exit is
         disabled too, restoring the exact pre-guard step).
 
+        ``until_loss=tol`` enables convergence-targeted training:
+        ``niters`` becomes a budget CAP and the compiled loop exits
+        device-side at the first iteration whose recorded loss (the
+        minibatch training loss; the ensemble mean for ``n_models > 1``)
+        is at or below ``tol`` — "train to tolerance", the stopping rule
+        classical solvers use, at zero recompile cost (``tol`` is a
+        traced runtime scalar, so sweeping it reuses one executable).
+        The minibatch loss is stochastic under ``resample=True``, so a
+        single lucky batch can trigger a modest ``tol``; for strict
+        semantics pair it with a fixed batch (``resample=False``) — with
+        ``optimizer='LM'`` the fixed-batch loss is monotone by
+        construction, making ``until_loss`` an exact target for the
+        polish phase.  ``history[-1]['converged_at']`` records the
+        triggering iteration; if the budget runs out first the fit just
+        completes ``niters`` iterations.  Implies ``stop_on_nan``.
+
         ``checkpoint_path=`` enables auto-checkpointing for long runs:
         the full training state (params, optimizer state, losses, step
         counter) is atomically snapshotted to that path at chunk
@@ -1352,6 +1378,12 @@ class Solver:
         fit_t0 = time.perf_counter()
         if int(niters) <= 0:
             return self
+        if until_loss is not None:
+            until_loss = float(until_loss)
+            # A fit that must inspect each iteration's loss device-side gets
+            # the divergence check for free (same predicate) — and stopping a
+            # convergence-targeted run at a NaN is the only sane behavior.
+            stop_on_nan = True
         if losses is not None:
             loss_terms = losses
         # Normalize loss_terms to ((name, weight), ...): accepts a single
@@ -1691,7 +1723,8 @@ class Solver:
             carry, chunk_losses, iters_done, chunk_ok = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(self._step_counter), np.int32(n), host_pts,
-                np.float32(causal_eps))
+                np.float32(causal_eps),
+                np.float32(-np.inf if until_loss is None else until_loss))
             return carry, chunk_losses, n, iters_done, chunk_ok
 
         if balance_every:
@@ -1747,6 +1780,7 @@ class Solver:
                                   if balance_every else None))
 
         nan_stop = None
+        converged_at = None
         try:
             with profile_ctx:
                 for start in iterator:
@@ -1758,15 +1792,22 @@ class Solver:
                     if stop_on_nan:
                         done = int(iters_done)  # syncs with the device
                         if done < n or not bool(chunk_ok):
-                            # Diverged: the compiled loop exited at the
-                            # first non-finite loss (index done-1 of this
-                            # chunk).  Keep the partial history, skip the
-                            # checkpoint (the carry is NaN — the last good
-                            # snapshot stays), stop the fit.
-                            import warnings
-                            nan_stop = self._step_counter + start + done - 1
+                            # The guard tripped at index done-1 of this
+                            # chunk: either the loss reached the until_loss
+                            # target (converged — a clean stop) or it went
+                            # non-finite (diverged).
+                            last = (float(np.asarray(chunk_losses)[done - 1])
+                                    if done > 0 else float("nan"))
                             iters_run = start + done
                             pending_losses.append((chunk_losses, done))
+                            if (until_loss is not None
+                                    and np.isfinite(last)
+                                    and last <= until_loss):
+                                converged_at = (self._step_counter + start
+                                                + done - 1)
+                                break
+                            import warnings
+                            nan_stop = self._step_counter + start + done - 1
                             warnings.warn(
                                 f"fit stopped early: non-finite loss at "
                                 f"iteration {nan_stop} (of {niters}); the "
@@ -1837,6 +1878,8 @@ class Solver:
             self.history[-1]["balanced_weights"] = balanced_weights
         if nan_stop is not None:
             self.history[-1]["stopped_on_nan"] = int(nan_stop)
+        if converged_at is not None:
+            self.history[-1]["converged_at"] = int(converged_at)
         return self
 
     # ------------------------------------------------------------------

@@ -119,7 +119,8 @@ def _compiled_chunk(solver):
     (run_chunk, prep), = solver._step_cache.values()
     theta, opt_state = prep(solver.model.params)
     args = ((theta, opt_state), jax.random.key(0), np.int32(0), np.int32(0),
-            np.int32(1), np.float32(0.0), np.float32(0.0))
+            np.int32(1), np.float32(0.0), np.float32(0.0),
+            np.float32(-np.inf))
     return run_chunk, args
 
 
