@@ -370,7 +370,10 @@ def make_layout_network(layout, features, activation, in_dim,
         ``σ''·T_a·T_b + σ'·S_(a,b)``; at order 4 the 15-partition
         biharmonic rule.  This replaces nested-jvp re-traversals of the
         network for Laplacian/heat/wave/KdV/biharmonic-style residuals —
-        measured ~10x faster per training iteration on TPU at PINN sizes.
+        measured 1.25-1.6x faster per full training iteration on TPU at
+        small-batch PINN sizes (BENCHMARKS.md "Taylor-mode derivative
+        planning"; at large batch the step is bandwidth-bound and
+        ``fast_taps='auto'`` picks the fallback).
 
         Parameters
         ----------

@@ -48,6 +48,14 @@ __all__ = ["Solver"]
 # accesses fewer bytes (measured crossover on v5e, BENCHMARKS.md).
 _PLAN_AUTO_MAX_ELEMENTS = 2_000_000
 
+# Iterations per guard check in the compiled training loop (stop_on_nan /
+# until_loss path).  The guard's per-check cost is a scalar-core sync on the
+# block's last losses (~measured 3-4 us on v5e behind the tunnel); blocks of
+# 16 amortize it below the run-to-run noise floor while a snapshot+replay
+# scheme keeps stopping semantics exact (see run_chunk's guard comment and
+# BENCHMARKS.md "Divergence-guard cost").
+GUARD_BLOCK = 16
+
 
 def _leaf_fn(k):
     return lambda ls: ls[k]
@@ -535,7 +543,9 @@ class Solver:
         ``use_plan=True`` activates the Taylor-mode fast path: all pure
         field taps the equation needs (collected at init) are computed in
         ONE batched-tangent network traversal instead of nested-jvp
-        re-traversals — measured ~10x faster per training iteration.  It is
+        re-traversals — measured 1.25-1.6x faster per full training
+        iteration in its (small-batch) regime, order 2 through 4
+        (BENCHMARKS.md "Taylor-mode derivative planning").  It is
         exact (same jaxpr-level math, differential-tested) and only valid
         when ``self._plan_ok``.
         """
@@ -1146,7 +1156,8 @@ class Solver:
                         loss = jnp.mean(loss_k)
                     else:
                         theta, opt_state, loss = gn_update(theta, opt_state)
-                    return (theta, opt_state), losses.at[i].set(loss)
+                    return ((theta, opt_state),
+                            losses.at[i].set(loss)), loss
                 if n_models > 1:
                     # One vmapped step trains the whole ensemble; the loss
                     # recorded is the ensemble mean.
@@ -1194,43 +1205,86 @@ class Solver:
                     new_carry += (wts,)
                 if rba:
                     new_carry += (rba_w,)
-                return new_carry, losses.at[i].set(loss)
+                return (new_carry, losses.at[i].set(loss)), loss
 
+            # run_chunk returns (carry, losses, verdict): verdict is ONE
+            # int32 packing the iteration count and the guard flag —
+            # ``done`` when the guard never tripped, ``-done - 1`` when it
+            # did.  One scalar instead of a (count, ok) pair halves the
+            # blocking host reads per chunk; behind a network tunnel each
+            # read is a full round-trip (measured: this was most of
+            # BENCH_r03's best-of-5 wall doubling).
             losses = jnp.zeros((chunk,), dtype)
             if not stop_on_nan:
                 out_carry, losses = jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(n), body, (carry, losses))
-                return out_carry, losses, jnp.int32(n), jnp.bool_(True)
+                    jnp.int32(0), jnp.int32(n),
+                    lambda i, s: body(i, s)[0], (carry, losses))
+                return out_carry, losses, jnp.int32(n)
 
-            # Divergence guard, device-side: the trip count is dynamic
-            # anyway (fori_loop with a traced `n` lowers to a while loop),
-            # so checking the freshly-written loss costs one scalar compare
-            # per iteration and a diverged fit stops AT the bad step instead
-            # of burning the rest of the compiled chunk.  The non-finite
-            # loss itself stays in the buffer so the history records it.
+            # Divergence/convergence guard, device-side and AMORTIZED.  A
+            # while-loop predicate that reads each freshly-computed loss
+            # serializes the scalar core on every step's vector result and
+            # costs ~22% sustained throughput (measured, BENCHMARKS.md
+            # "Divergence-guard cost").  Instead the chunk runs counter-only
+            # blocks of GUARD_BLOCK iterations — the inner fori's trip test
+            # never touches a loss, so it pipelines exactly like the
+            # unguarded loop — and the outer predicate consumes one
+            # per-block verdict.  One predicate serves both guards:
+            # non-finite losses fail isfinite (divergence) and a loss at or
+            # below ``tol`` stops a convergence-targeted fit (tol = -inf
+            # when until_loss is unset, so every finite loss passes).
+            #
+            # Exact stop-at-the-bad-step semantics are preserved by
+            # snapshot + replay: each block snapshots the carry on entry;
+            # a tripped block rewinds to the snapshot, shrinks the loop
+            # bound to trig+1, and (now disarmed) replays deterministically
+            # up to the offending iteration — batches are pure functions of
+            # the iteration index (fold_in), so the returned params, losses
+            # and ``done`` match the per-iteration guard bit-for-bit at
+            # <= one extra block of work per tripped chunk and one carry
+            # copy-on-write per block.
+            # Static slice width for the per-block loss check (chunks
+            # shorter than a block read the whole buffer).
+            kk = min(GUARD_BLOCK, chunk)
+
             def wcond(state):
-                i, _, ok = state
-                return (i < jnp.int32(n)) & ok
+                i, _, _, stop_at = state
+                return i < stop_at
 
             def wbody(state):
-                i, s, _ = state
-                s = body(i, s)
-                l = s[1][i]
-                # One predicate serves both guards: non-finite losses fail
-                # isfinite (divergence), and a loss at or below ``tol``
-                # stops a convergence-targeted fit (tol = -inf when unused,
-                # so every finite loss passes and the behavior is exactly
-                # the plain divergence guard).
-                return i + jnp.int32(1), s, jnp.isfinite(l) & (l > tol)
+                i, s, armed, stop_at = state
+                snap = s[0]
+                m = jnp.minimum(jnp.int32(GUARD_BLOCK), stop_at - i)
+                s_new = jax.lax.fori_loop(
+                    jnp.int32(0), m, lambda j, s2: body(i + j, s2)[0], s)
+                # Block verdict from the loss buffer, one vectorized check
+                # per block — tracking it in the inner carry instead costs
+                # a vector->scalar sync every iteration.  dynamic_slice
+                # clamps the start, so near the buffer end the window
+                # shifts back and the iota mask restricts it to [i, i+m).
+                st = jnp.minimum(i, jnp.int32(chunk - kk))
+                lb = jax.lax.dynamic_slice(s_new[1], (st,), (kk,))
+                pos = st + jnp.arange(kk, dtype=jnp.int32)
+                bad = ((pos >= i) & (pos < i + m)
+                       & ~(jnp.isfinite(lb) & (lb > tol)))
+                ok_blk = ~jnp.any(bad)
+                trig = st + jnp.argmax(bad).astype(jnp.int32)
+                tripped = armed & ~ok_blk
+                carry_out = jax.tree.map(
+                    lambda a, b: jnp.where(tripped, a, b), snap, s_new[0])
+                return (jnp.where(tripped, i, i + m),
+                        (carry_out, s_new[1]), armed & ~tripped,
+                        jnp.where(tripped, trig + jnp.int32(1), stop_at))
 
-            # `ok` must be returned too: a guard trip (non-finite loss, or
-            # loss <= tol) on the chunk's LAST iteration exits with
-            # done == n, indistinguishable from clean completion by the
-            # count alone.
-            done, (out_carry, losses), ok = jax.lax.while_loop(
+            # `ok` (= still armed) must be encoded too: a guard trip on
+            # the chunk's LAST iteration exits with done == n,
+            # indistinguishable from clean completion by the count alone.
+            done, (out_carry, losses), ok, _ = jax.lax.while_loop(
                 wcond, wbody,
-                (jnp.int32(0), (carry, losses), jnp.bool_(True)))
-            return out_carry, losses, done, ok
+                (jnp.int32(0), (carry, losses), jnp.bool_(True),
+                 jnp.int32(n)))
+            verdict = jnp.where(ok, done, -done - jnp.int32(1))
+            return out_carry, losses, verdict
 
         def prep(params):
             """Flatten params and build optimizer state in one jitted call —
@@ -1720,12 +1774,12 @@ class Solver:
                     host_pts = jnp.asarray(pts)
             else:
                 host_pts = np.float32(0.0)  # unused placeholder
-            carry, chunk_losses, iters_done, chunk_ok = run_chunk(
+            carry, chunk_losses, verdict = run_chunk(
                 carry, fit_key, np.int32(self._step_counter + start),
                 np.int32(self._step_counter), np.int32(n), host_pts,
                 np.float32(causal_eps),
                 np.float32(-np.inf if until_loss is None else until_loss))
-            return carry, chunk_losses, n, iters_done, chunk_ok
+            return carry, chunk_losses, n, verdict
 
         if balance_every:
             # Initial weights in the step's term order (equation first,
@@ -1759,9 +1813,14 @@ class Solver:
         ckpt_iters_saved = -1
 
         def drain_losses():
-            for l, m in pending_losses:
-                fit_losses_list.extend(np.asarray(l)[:m].tolist())
-            pending_losses.clear()
+            if pending_losses:
+                # One batched transfer for every pending device buffer
+                # (host-numpy buffers pass through device_get untouched) —
+                # per-buffer reads each cost a tunnel round-trip.
+                bufs = jax.device_get([l for l, _ in pending_losses])
+                for b, (_, m) in zip(bufs, pending_losses):
+                    fit_losses_list.extend(np.asarray(b)[:m].tolist())
+                pending_losses.clear()
             return fit_losses_list
 
         def save_checkpoint(carry):
@@ -1787,11 +1846,21 @@ class Solver:
                     # `carry` must be reassigned before the callback can
                     # raise: the previous carry's buffers were donated to
                     # the device call and are dead.
-                    carry, chunk_losses, n, iters_done, chunk_ok = \
+                    carry, chunk_losses, n, verdict = \
                         run_one_chunk(carry, start)
                     if stop_on_nan:
-                        done = int(iters_done)  # syncs with the device
-                        if done < n or not bool(chunk_ok):
+                        # ONE blocking round-trip per chunk: verdict packs
+                        # (iterations done, guard flag) as done / -done-1,
+                        # and the batched device_get pulls the loss buffer
+                        # down in the same transfer (measured: separate
+                        # reads each pay a full ~25 ms tunnel round-trip;
+                        # one batched get costs one).  chunk_losses becomes
+                        # host numpy, so the end-of-fit drain is free.
+                        v, chunk_losses = jax.device_get(
+                            (verdict, chunk_losses))
+                        v = int(v)
+                        done = v if v >= 0 else -v - 1
+                        if v < 0:
                             # The guard tripped at index done-1 of this
                             # chunk: either the loss reached the until_loss
                             # target (converged — a clean stop) or it went
@@ -1800,9 +1869,14 @@ class Solver:
                                     if done > 0 else float("nan"))
                             iters_run = start + done
                             pending_losses.append((chunk_losses, done))
+                            # Compare against the f32 tol the DEVICE guard
+                            # used (run_one_chunk passes np.float32(tol)) —
+                            # re-checking against the f64 value misclassifies
+                            # a loss in (tol, f32(tol)] as divergence when
+                            # the cast rounds tol up.
                             if (until_loss is not None
                                     and np.isfinite(last)
-                                    and last <= until_loss):
+                                    and last <= float(np.float32(until_loss))):
                                 converged_at = (self._step_counter + start
                                                 + done - 1)
                                 break
