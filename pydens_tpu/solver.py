@@ -74,14 +74,17 @@ def _as_residual_list(out):
 
 
 def _mesh_axes(mesh, n_models):
-    """Resolve (data_axis, model_axis) names for a mesh: an axis named
-    'models' shards ensemble members (when n_models > 1); the first other
-    axis shards the collocation batch."""
+    """Resolve (data_axes, model_axis) names for a mesh: an axis named
+    'models' shards ensemble members (when n_models > 1); ALL other axes
+    jointly shard the collocation batch (``data_axes`` is a tuple usable
+    directly inside a ``PartitionSpec`` dim, so a 2-axis
+    ``('dcn', 'data')`` mesh — slices over a slower interconnect times
+    chips within a slice — shards the batch over the full device product
+    instead of silently using only the first axis)."""
     names = list(mesh.axis_names)
     model_axis = "models" if ("models" in names and n_models > 1) else None
-    data_candidates = [a for a in names if a != "models"]
-    data_axis = data_candidates[0] if data_candidates else None
-    return data_axis, model_axis
+    data_axes = tuple(a for a in names if a != "models") or None
+    return data_axes, model_axis
 
 
 def _flatten_tree(tree):
@@ -861,11 +864,15 @@ class Solver:
         resample = cfg["resample"]
         needs_value_fn = cfg["needs_value_fn"]
         mesh = self.mesh
-        data_axis = model_axis = None
+        data_axes = model_axis = None
         if mesh is not None:
-            data_axis, model_axis = _mesh_axes(mesh, self.n_models)
-            batch_sharding = (NamedSharding(mesh, P(data_axis, None))
-                              if data_axis else None)
+            data_axes, model_axis = _mesh_axes(mesh, self.n_models)
+            # All non-model axes jointly shard the batch dim (a tuple in
+            # one PartitionSpec slot) — on a multi-slice ('dcn', 'data')
+            # mesh the per-step all-reduce then rides ICI within slices
+            # and crosses DCN once, which XLA composes automatically.
+            batch_sharding = (NamedSharding(mesh, P(data_axes, None))
+                              if data_axes else None)
             theta_sharding = (NamedSharding(mesh, P(model_axis, None))
                               if model_axis else None)
 
@@ -1045,7 +1052,7 @@ class Solver:
                     leaves = [pts[:, c].reshape(
                         (1,) * c + (batch_size,) + (1,) * (total - c))
                         for c in range(total)]
-                    if mesh is not None and data_axis:
+                    if mesh is not None and data_axes:
                         # Grid data parallelism: shard GRID AXIS 0 (axis 0's
                         # sample rows).  Every downstream tensor — axis-0
                         # features, the einsum'd residual grid — inherits a
@@ -1054,7 +1061,7 @@ class Solver:
                         # replicate.
                         leaves[0] = jax.lax.with_sharding_constraint(
                             leaves[0], NamedSharding(
-                                mesh, P(data_axis, *(None,) * total)))
+                                mesh, P(data_axes, *(None,) * total)))
                 else:
                     leaves = [pts[:, c:c + 1] for c in range(total)]
                 if rba:
@@ -1515,13 +1522,14 @@ class Solver:
         else:
             sampler_key = "host"
         if self.mesh is not None:
-            data_axis, model_axis = _mesh_axes(self.mesh, self.n_models)
-            if data_axis and batch_size % self.mesh.shape[data_axis] != 0:
-                raise ValueError(
-                    f"batch_size={batch_size} must be divisible by the "
-                    f"'{data_axis}' mesh axis size "
-                    f"{self.mesh.shape[data_axis]} for data-parallel "
-                    "training")
+            data_axes, model_axis = _mesh_axes(self.mesh, self.n_models)
+            if data_axes:
+                n_data = int(np.prod([self.mesh.shape[a] for a in data_axes]))
+                if batch_size % n_data != 0:
+                    raise ValueError(
+                        f"batch_size={batch_size} must be divisible by the "
+                        f"data mesh axes {data_axes} total size {n_data} "
+                        "for data-parallel training")
             if model_axis and self.n_models % self.mesh.shape[model_axis]:
                 raise ValueError(
                     f"n_models={self.n_models} must be divisible by the "
@@ -1761,8 +1769,8 @@ class Solver:
                 else:
                     pts = fixed_host_batch
                 if self.mesh is not None:
-                    data_axis, _ = _mesh_axes(self.mesh, self.n_models)
-                    spec = P(None, data_axis, None)
+                    data_axes, _ = _mesh_axes(self.mesh, self.n_models)
+                    spec = P(None, data_axes, None)
                     if self._mesh_mp:
                         # Every process sampled the same full batch (same
                         # seed); each contributes its local devices' shards.

@@ -83,7 +83,7 @@ def test_2d_mesh_divisibility_checks():
     with pytest.raises(ValueError, match="n_models=3"):
         solver.fit(niters=1, batch_size=8, progress=False)
     solver2 = Solver(_ode, ndims=1, mesh=mesh, seed=0, n_models=2)
-    with pytest.raises(ValueError, match="'data' mesh axis"):
+    with pytest.raises(ValueError, match=r"data mesh axes \('data',\)"):
         solver2.fit(niters=1, batch_size=10, progress=False)
 
 
@@ -111,6 +111,54 @@ def test_mesh_matches_single_device_numerically():
     np.testing.assert_allclose(s1.losses, s2.losses, rtol=1e-4, atol=1e-6)
     xs = np.linspace(0, 1, 50)
     np.testing.assert_allclose(s1.predict(xs), s2.predict(xs), atol=1e-5)
+
+
+def test_two_axis_data_mesh_shards_over_the_product():
+    # A ('dcn', 'data') 2x4 mesh models two 4-chip slices joined by a
+    # slower interconnect.  The batch must shard over the PRODUCT of all
+    # non-model axes — _mesh_axes returning only the FIRST data axis would
+    # silently leave 'data' unused (replicated), an invisible 4x loss of
+    # parallelism.  Proven three ways: the resolved axes tuple, an
+    # 8-way host-batch shard shape, and the mesh==single-device loss
+    # trajectory (sharding never changes values).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pydens_tpu.solver import _mesh_axes
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("dcn", "data"))
+    data_axes, model_axis = _mesh_axes(mesh, 1)
+    assert data_axes == ("dcn", "data") and model_axis is None
+    x = jax.device_put(np.zeros((1, 64, 1), np.float32),
+                       NamedSharding(mesh, P(None, data_axes, None)))
+    assert x.addressable_shards[0].data.shape == (1, 8, 1)
+
+    kwargs = dict(ndims=1, initial_condition=.5, seed=0,
+                  activation="Tanh", layout="fafaf", features=[12, 10, 1])
+    s1 = Solver(_ode, **kwargs)
+    s1.fit(niters=100, batch_size=256, lr=0.02, progress=False)
+    s2 = Solver(_ode, mesh=mesh, **kwargs)
+    s2.fit(niters=100, batch_size=256, lr=0.02, progress=False)
+    np.testing.assert_allclose(s1.losses, s2.losses, rtol=1e-4, atol=1e-6)
+    run_chunk, args = _compiled_chunk(s2)
+    assert "all-reduce" in run_chunk.lower(*args).compile().as_text()
+
+
+def test_two_axis_mesh_divisibility_counts_the_product():
+    mesh = make_mesh(shape=(2, 4), axis_names=("dcn", "data"))
+    solver = Solver(_ode, ndims=1, mesh=mesh, seed=0)
+    with pytest.raises(ValueError, match="total size 8"):
+        solver.fit(niters=1, batch_size=12, progress=False)
+
+
+def test_three_axis_mesh_with_models_composes():
+    # ('models', 'dcn', 'data') 2x2x2: ensemble sharded 2-way, batch
+    # sharded over the remaining 4-device product.
+    mesh = make_mesh(shape=(2, 2, 2), axis_names=("models", "dcn", "data"))
+    solver = Solver(_ode, ndims=1, initial_condition=.5, mesh=mesh, seed=0,
+                    n_models=2, activation="Tanh", layout="fafaf",
+                    features=[12, 10, 1])
+    solver.fit(niters=50, batch_size=64, lr=0.02, progress=False)
+    assert np.isfinite(solver.losses).all()
+    assert solver.predict_all(np.linspace(0, 1, 9)).shape == (2, 9, 1)
 
 
 def _compiled_chunk(solver):
