@@ -107,3 +107,32 @@ def test_causal_validation_errors():
         s2 = _solver(constraints=lambda f, x, t: f(0.0, t) - 1.0)
         s2.fit(niters=1, batch_size=8, causal=1.0,
                loss_terms=["constraint_0"], progress=False)
+
+
+@pytest.mark.slow
+def test_causal_convection_recipe_converges_cpu():
+    """CPU regression pin for the flagship causal-convection recipe
+    (examples/20 at a CPU-scale budget): c=3 periodic convection with the
+    annealed-eps schedule must reach rel-L2 < 0.30 where the plain-MSE fit
+    at the same budget stalls at ~0.55 (measured: causal 0.228 vs plain
+    0.553, 24k iters, [48,48,1] Tanh, ~50 s CPU wall).  Guards the recipe
+    backing fit(causal=) between TPU bench rounds — the full-strength
+    claim (c=10 rel-L2 ~ 0.023 with RFF + modified MLP, 40k iters) stays
+    TPU-only in bench.py."""
+    s = Solver(_convection(3.0), ndims=2, seed=0, periodic=(0,),
+               initial_condition=lambda x: pdt.sin(2 * np.pi * x),
+               activation="Tanh", layout="fa fa f", features=[48, 48, 1])
+    # Annealed causal temperature, examples/20's schedule shape; eps is a
+    # traced runtime scalar so both fits share ONE compiled step.
+    s.fit(niters=12000, batch_size=1024, lr=2e-3, causal=5.0,
+          chunk_size=12000, progress=False)
+    s.fit(niters=12000, batch_size=1024, lr=2e-3, causal=20.0,
+          chunk_size=12000, progress=False)
+    assert len(s._step_cache) == 1
+    xs = np.linspace(0, 1, 65)
+    ts = np.linspace(0, 1, 101)
+    X, T = np.meshgrid(xs, ts)
+    pred = s.predict(X.ravel(), T.ravel()).ravel()
+    true = np.sin(2 * np.pi * (X - 3.0 * T)).ravel()
+    rel = np.linalg.norm(pred - true) / np.linalg.norm(true)
+    assert rel < 0.30, rel
