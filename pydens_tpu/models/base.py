@@ -796,13 +796,18 @@ class ConvBlockModel(Model):
     Mirrors ``ConvBlockModel`` (``model_torch.py:130-172``): defaults
     ``layout='fafaf'``, ``features=(20, 30, 1)``, ``activation='Sigmoid'``;
     accepts the ``units`` spelling for ``features`` (``README.md:41-42``).
+
+    Superset: branch/join/norm layout tokens (``B``/``*``/``.``/``n``) with
+    per-branch sub-networks via ``branches=`` — see
+    ``models/layout.py``'s module docstring for the grammar and
+    ``examples/30_branched_multihead.py`` for multi-head systems.
     """
 
     def __init__(self, ndims, initial_condition=None, boundary_condition=None,
                  domain=(0, 1), nparams=0, layout="fafaf",
                  features=(20, 30, 1), activation="Sigmoid", units=None,
                  dtype=jnp.float32, periodic=None, fourier_features=None,
-                 arch="mlp", periodic_ic_decay=None, **kwargs):
+                 arch="mlp", periodic_ic_decay=None, branches=None, **kwargs):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
@@ -922,6 +927,10 @@ class ConvBlockModel(Model):
                     "arch='modified' builds its own gated structure — "
                     "drop the layout= argument (depth comes from "
                     "len(features))")
+            if branches is not None:
+                raise ValueError(
+                    "arch='modified' has no layout string — branches= only "
+                    "applies to 'B' tokens in a layout chain")
             from .layout import make_modified_mlp_network
             self._net_init, self._net_apply, self.layer_names = \
                 make_modified_mlp_network(self.features, activation,
@@ -929,7 +938,8 @@ class ConvBlockModel(Model):
         else:
             self._net_init, self._net_apply, self.layer_names = \
                 make_layout_network(layout, self.features, activation,
-                                    in_dim=in_dim, dtype=dtype)
+                                    in_dim=in_dim, dtype=dtype,
+                                    branches=branches)
         self._fused_apply = None
         self._fused_taylor_cache = {}
         if not self._net_apply.taylor_ok:
@@ -1029,11 +1039,12 @@ class ConvBlockModel(Model):
 
         Off by default: the measured XLA path wins on this workload (see
         ops/pallas_mlp.py docstring).  Set ``PYDENS_TPU_FUSED=always`` to
-        opt in.  Chain layouts only — the gated modified MLP has no
-        fused kernel.
+        opt in.  Chain layouts only — the gated modified MLP and the
+        branch/join/norm superset tokens have no fused kernel.
         """
         import os
         return (self.arch == "mlp"
+                and set(self._net_apply.tokens) <= set("fcaR+")
                 and os.environ.get("PYDENS_TPU_FUSED", "never") == "always")
 
 

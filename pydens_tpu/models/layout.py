@@ -12,6 +12,33 @@ Grammar (observed at ``model_torch.py:142-156`` and ``README.md:42-46``):
 * ``+`` — end of a skip connection via sum (pop and add)
 * spaces are cosmetic
 
+Superset tokens — the branch/join/norm capability the reference's own
+docstring advertises ("networks with many branches and skip connections",
+``model_torch.py:134-135``) but batchflow provides and pydens never
+exercises; re-designed here rather than ported:
+
+* ``B`` — branch start: saves the current tensor, optionally routed through
+  that branch's own sub-network (the ``branches`` argument, matched to
+  ``B`` tokens in order; a ``None`` entry or no entry means identity, i.e.
+  ``B`` behaves like ``R`` with a choice of join)
+* ``+`` / ``*`` / ``.`` — join the most recent open branch by sum /
+  elementwise product / feature concatenation (``.`` appends the branch's
+  features AFTER the main path's).  ``+`` and ``*`` require equal widths.
+* ``n`` — LayerNorm over the feature axis (trainable scale/bias, layer
+  names ``ln1``, ``ln2``, ...).  LayerNorm's Jacobian mixes features
+  (non-diagonal), so it disables the single-traversal Taylor fast path;
+  derivatives fall back to the exact nested-jvp path automatically.
+
+Two dense heads sharing a trunk (a PDE *system* with one network)::
+
+    make_layout_network("fa fa B f .", [20, 20, 1], "Tanh", in_dim=2,
+                        branches=[dict(layout="f", features=[1])])
+
+gives a ``(N, 2)`` output: column 0 the main head, column 1 the branch
+head, both reading the shared two-layer trunk.  Branch layers are
+addressable in ``freeze_layers`` as ``br1_fc1``, ``br2_fc1``, ... (the
+``i``-th ``B`` token's sub-layers get the ``br{i}_`` prefix).
+
 ``features`` (or the ``units`` spelling, ``README.md:41-42``) gives the output
 width of each dense layer in order; ``activation`` is a string name, a
 callable, a class (resolved by name), or a sequence thereof matched to the
@@ -221,32 +248,40 @@ def resolve_activation(act):
     raise ValueError(f"cannot interpret activation spec {act!r}")
 
 
+_JOINS = ("+", "*", ".")
+
+
 def parse_layout(layout):
     """Parse a layout string into a token list; validates characters."""
     tokens = [ch for ch in layout if ch != " "]
     for ch in tokens:
-        if ch not in ("f", "c", "a", "R", "+"):
+        if ch not in ("f", "c", "a", "R", "B", "n", *_JOINS):
             raise ValueError(
                 f"unknown layout token {ch!r} in layout {layout!r}; "
                 "supported tokens: 'f' (dense), 'c' (conv, dense on point "
-                "clouds), 'a' (activation), 'R' (skip start), '+' (skip sum)"
+                "clouds), 'a' (activation), 'n' (LayerNorm), 'R' (skip "
+                "start), 'B' (branch start), '+'/'*'/'.' (join by "
+                "sum/product/concat)"
             )
-    # Validate skip balance.
+    # Validate branch/skip balance.
     depth = 0
     for ch in tokens:
-        if ch == "R":
+        if ch in ("R", "B"):
             depth += 1
-        elif ch == "+":
+        elif ch in _JOINS:
             depth -= 1
             if depth < 0:
-                raise ValueError(f"layout {layout!r}: '+' with no matching 'R'")
+                raise ValueError(
+                    f"layout {layout!r}: join {ch!r} with no matching 'R' "
+                    "or 'B' branch start")
     if depth != 0:
-        raise ValueError(f"layout {layout!r}: unmatched 'R' skip start")
+        raise ValueError(
+            f"layout {layout!r}: unmatched 'R'/'B' branch start")
     return tokens
 
 
 def make_layout_network(layout, features, activation, in_dim,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, branches=None):
     """Build ``(init, apply, layer_names)`` for a layout-string network.
 
     Parameters
@@ -259,8 +294,20 @@ def make_layout_network(layout, features, activation, in_dim,
         Activation spec; a sequence is matched to 'a' slots in order.
     in_dim : int
         Input feature dimension (``ndims + nparams``).
+    branches : sequence of (dict | None), optional
+        Sub-network specs matched to ``B`` tokens in order; each dict has
+        ``layout``, ``features`` and optionally ``activation`` (defaults
+        to the parent spec) and nested ``branches``.  ``None`` (or a
+        missing trailing entry) means the branch is the identity.
     """
     tokens = parse_layout(layout)
+    n_branch_slots = sum(1 for t in tokens if t == "B")
+    branches = list(branches or [])
+    if len(branches) > n_branch_slots:
+        raise ValueError(
+            f"layout {layout!r} has {n_branch_slots} 'B' branch starts but "
+            f"branches= has {len(branches)} entries")
+    branches += [None] * (n_branch_slots - len(branches))
     n_dense = sum(1 for t in tokens if t in ("f", "c"))
     n_act = sum(1 for t in tokens if t == "a")
     features = list(features)
@@ -283,42 +330,102 @@ def make_layout_network(layout, features, activation, in_dim,
     else:
         acts = [resolve_activation(activation)] * n_act
 
-    layer_names = [f"fc{i + 1}" for i in range(n_dense)]
+    dense_names = [f"fc{i + 1}" for i in range(n_dense)]
 
-    # The Taylor fast path extracts sigma'/sigma'' as J·1 via jvp-with-ones,
-    # which is only valid for ELEMENTWISE activations (diagonal Jacobians).
-    # Probe each resolved activation once; feature-mixing callables (e.g.
-    # softmax) disable the plan rather than silently corrupting derivatives.
-    taylor_ok = all(_is_elementwise(a) for a in set(acts))
-
-    # Infer per-layer input dims by a symbolic pass over the tokens.
+    # Infer per-layer input dims by a symbolic pass over the tokens; 'B'
+    # branch sub-networks are built here because their in_dim is the width
+    # at their branch point.
     in_dims = []
     dims_stack = []
+    ln_dims = []
+    sub_nets = []
     cur = in_dim
     di = 0
+    bi = 0
     for tok in tokens:
         if tok in ("f", "c"):
             in_dims.append(cur)
             cur = features[di]
             di += 1
+        elif tok == "n":
+            ln_dims.append(cur)
         elif tok == "R":
             dims_stack.append(cur)
-        elif tok == "+":
+        elif tok == "B":
+            spec = branches[bi]
+            if spec is None:
+                sub_nets.append(None)
+                dims_stack.append(cur)
+            else:
+                spec = dict(spec)
+                try:
+                    b_layout = spec.pop("layout")
+                    b_features = list(spec.pop("features"))
+                except KeyError as exc:
+                    raise ValueError(
+                        f"branch spec for 'B' #{bi + 1} needs 'layout' and "
+                        f"'features' keys; got {sorted(dict(branches[bi]))}"
+                    ) from exc
+                b_act = spec.pop("activation", activation)
+                b_branches = spec.pop("branches", None)
+                if spec:
+                    raise ValueError(
+                        f"unknown branch spec key(s) {sorted(spec)} for 'B' "
+                        f"#{bi + 1}; known: layout, features, activation, "
+                        "branches")
+                sub_nets.append(make_layout_network(
+                    b_layout, b_features, b_act, in_dim=cur, dtype=dtype,
+                    branches=b_branches))
+                dims_stack.append(b_features[-1])
+            bi += 1
+        elif tok in ("+", "*"):
             skip = dims_stack.pop()
             if skip != cur:
+                kind = ("skip connection" if tok == "+"
+                        else "elementwise product join")
                 raise ValueError(
-                    f"layout {layout!r}: skip connection joins width {skip} "
-                    f"with width {cur}; sum-skips require equal widths"
+                    f"layout {layout!r}: {kind} joins width {skip} "
+                    f"with width {cur}; sum-skips and product joins require "
+                    "equal widths"
                 )
+        elif tok == ".":
+            cur = cur + dims_stack.pop()
+
+    ln_names = [f"ln{j + 1}" for j in range(len(ln_dims))]
+    branch_names = []
+    for i, sub in enumerate(sub_nets):
+        if sub is not None:
+            branch_names += [f"br{i + 1}_{nm}" for nm in sub[2]]
+    layer_names = dense_names + ln_names + branch_names
+
+    # The Taylor fast path extracts sigma'/sigma'' as J·1 via jvp-with-ones,
+    # which is only valid for ELEMENTWISE activations (diagonal Jacobians).
+    # Probe each resolved activation once; feature-mixing callables (e.g.
+    # softmax) disable the plan rather than silently corrupting derivatives.
+    # LayerNorm mixes features the same way, so 'n' disables the plan too;
+    # a branch with its own non-elementwise pieces propagates its verdict.
+    taylor_ok = (all(_is_elementwise(a) for a in set(acts))
+                 and "n" not in tokens
+                 and all(sub is None or sub[1].taylor_ok
+                         for sub in sub_nets))
+
+    def _branch_params(params, index):
+        """The ``br{index+1}_``-prefixed slice of ``params``, un-prefixed
+        for the branch sub-network's own apply/init contract."""
+        prefix = f"br{index + 1}_"
+        return {nm[len(prefix):]: v for nm, v in params.items()
+                if nm.startswith(prefix)}
 
     def init(key):
         """Initialize parameters: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
         weights and biases (the torch.nn.Linear default, for convergence
-        parity with the reference)."""
+        parity with the reference).  LayerNorm scales init to 1, biases to
+        0; branch sub-networks draw from a fold_in of the same key (the
+        dense-chain draws are unchanged by the presence of branches)."""
         params = {}
         keys = jax.random.split(key, n_dense)
         for i, (name, fan_in, fan_out) in enumerate(
-                zip(layer_names, in_dims, features)):
+                zip(dense_names, in_dims, features)):
             wkey, bkey = jax.random.split(keys[i])
             bound = 1.0 / np.sqrt(fan_in)
             params[name] = {
@@ -327,26 +434,51 @@ def make_layout_network(layout, features, activation, in_dim,
                 "b": jax.random.uniform(
                     bkey, (fan_out,), dtype, -bound, bound),
             }
+        for name, width in zip(ln_names, ln_dims):
+            params[name] = {"g": jnp.ones((width,), dtype),
+                            "b": jnp.zeros((width,), dtype)}
+        for i, sub in enumerate(sub_nets):
+            if sub is None:
+                continue
+            for nm, val in sub[0](
+                    jax.random.fold_in(key, 0x6272 + i)).items():
+                params[f"br{i + 1}_{nm}"] = val
         return params
 
     def apply(params, x):
         """Apply the network to a ``(N, in_dim)`` batch of points."""
         h = x
         stack = []
-        di_, ai_ = 0, 0
+        di_, ai_, li_, bi_ = 0, 0, 0, 0
         for tok in tokens:
             if tok in ("f", "c"):
-                layer = params[layer_names[di_]]
+                layer = params[dense_names[di_]]
                 h = jnp.dot(h, layer["w"],
                             precision=jax.lax.Precision.HIGHEST) + layer["b"]
                 di_ += 1
             elif tok == "a":
                 h = acts[ai_](h)
                 ai_ += 1
+            elif tok == "n":
+                layer = params[ln_names[li_]]
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+                h = layer["g"] * (h - mu) * jax.lax.rsqrt(var + 1e-6) \
+                    + layer["b"]
+                li_ += 1
             elif tok == "R":
                 stack.append(h)
+            elif tok == "B":
+                sub = sub_nets[bi_]
+                stack.append(h if sub is None
+                             else sub[1](_branch_params(params, bi_), h))
+                bi_ += 1
             elif tok == "+":
                 h = h + stack.pop()
+            elif tok == "*":
+                h = h * stack.pop()
+            elif tok == ".":
+                h = jnp.concatenate([h, stack.pop()], axis=-1)
         return h
 
     def taylor_taps(params, x, closure, init=None):
@@ -403,10 +535,10 @@ def make_layout_network(layout, features, activation, in_dim,
             V, taps = _identity_state(x, closure)
         max_order = max((len(mi) for mi in closure), default=0)
         stack = []
-        di_, ai_ = 0, 0
+        di_, ai_, bi_ = 0, 0, 0
         for tok in tokens:
             if tok in ("f", "c"):
-                V, taps = _dense_taps(params[layer_names[di_]], V, taps,
+                V, taps = _dense_taps(params[dense_names[di_]], V, taps,
                                       closure)
                 di_ += 1
             elif tok == "a":
@@ -414,12 +546,37 @@ def make_layout_network(layout, features, activation, in_dim,
                 # (exact for elementwise activations; XLA CSEs the chains).
                 V, taps = _act_taps(acts[ai_], V, taps, closure, max_order)
                 ai_ += 1
+            elif tok == "n":
+                # Unreachable through Model (taylor_ok is False when 'n'
+                # is present) — guard against direct callers.
+                raise ValueError(
+                    "the Taylor fast path does not support LayerNorm 'n' "
+                    "(non-diagonal Jacobian); use the nested-jvp fallback")
             elif tok == "R":
                 stack.append((V, dict(taps)))
+            elif tok == "B":
+                sub = sub_nets[bi_]
+                if sub is None:
+                    stack.append((V, dict(taps)))
+                else:
+                    # Recurse the Taylor state through the branch's own
+                    # traversal, seeded with the state at the branch point.
+                    stack.append(sub[1].taylor_taps(
+                        _branch_params(params, bi_), V, closure,
+                        init=(V, dict(taps))))
+                bi_ += 1
             elif tok == "+":
                 V0, taps0 = stack.pop()
                 V = V + V0
                 taps = {mi: taps[mi] + taps0[mi] for mi in closure}
+            elif tok == "*":
+                V0, taps0 = stack.pop()
+                V, taps = _product_taps(V, taps, V0, taps0, closure)
+            elif tok == ".":
+                V0, taps0 = stack.pop()
+                V = jnp.concatenate([V, V0], axis=-1)
+                taps = {mi: jnp.concatenate([taps[mi], taps0[mi]], axis=-1)
+                        for mi in closure}
         return V, taps
 
     def taylor(params, x, first_dirs, second_pairs, init=None,

@@ -29,7 +29,7 @@ def _loss_and_grad(solver, use_fused, monkeypatch, pts):
     solver.model._fused_taylor_cache = {}
     lt = (("equation", 1.0),)
     crit = lambda a, b: jnp.mean((a - b) ** 2)
-    loss_fn, _ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_fn, *_ = solver._build_loss_fn(lt, crit, use_plan=True)
     leaves = [pts[:, i:i + 1] for i in range(2)]
     return jax.value_and_grad(loss_fn)(solver.model.params, leaves)
 

@@ -56,8 +56,8 @@ def test_periodic_plan_matches_fallback():
                     layout="fafaf", features=[12, 12, 1])
     lt = (("equation", 1.0),)
     crit = lambda a, b: jnp.mean((a - b) ** 2)
-    loss_plan, _ = solver._build_loss_fn(lt, crit, use_plan=True)
-    loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
+    loss_plan, *_ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_ref, *_ = solver._build_loss_fn(lt, crit, use_plan=False)
     pts = jax.random.uniform(jax.random.key(1), (64, 2))
     leaves = [pts[:, i:i + 1] for i in range(2)]
     l1, g1 = jax.value_and_grad(loss_plan)(solver.model.params, leaves)
@@ -102,8 +102,8 @@ def test_periodic_multiharmonic_exact_and_plan():
                                atol=1e-6)
     lt = (("equation", 1.0),)
     crit = lambda a, b: jnp.mean((a - b) ** 2)
-    loss_plan, _ = solver._build_loss_fn(lt, crit, use_plan=True)
-    loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
+    loss_plan, *_ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_ref, *_ = solver._build_loss_fn(lt, crit, use_plan=False)
     pts = jax.random.uniform(jax.random.key(1), (64, 2))
     leaves = [pts[:, i:i + 1] for i in range(2)]
     l1, g1 = jax.value_and_grad(loss_plan)(solver.model.params, leaves)

@@ -75,8 +75,8 @@ def test_plan_equals_fallback_random_config(trial):
 
     lt = (("equation", 1.0),)
     crit = lambda a, b: jnp.mean((a - b) ** 2)
-    loss_plan, _ = solver._build_loss_fn(lt, crit, use_plan=True)
-    loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
+    loss_plan, *_ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_ref, *_ = solver._build_loss_fn(lt, crit, use_plan=False)
     pts = jax.random.uniform(jax.random.key(trial), (32, total)) * .8 + .1
     leaves = [pts[:, i:i + 1] for i in range(total)]
     l1, g1 = jax.jit(jax.value_and_grad(loss_plan))(solver.model.params,

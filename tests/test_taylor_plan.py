@@ -16,8 +16,8 @@ def _diff_check(solver, total, tol=2e-5):
     """Planned and fallback loss+grad must match on random params/points."""
     lt = (("equation", 1.0),)
     crit = lambda a, b: jnp.mean((a - b) ** 2)
-    loss_plan, _ = solver._build_loss_fn(lt, crit, use_plan=True)
-    loss_ref, _ = solver._build_loss_fn(lt, crit, use_plan=False)
+    loss_plan, *_ = solver._build_loss_fn(lt, crit, use_plan=True)
+    loss_ref, *_ = solver._build_loss_fn(lt, crit, use_plan=False)
     pts = jax.random.uniform(jax.random.key(3), (64, total)) * 0.8 + 0.1
     leaves = [pts[:, i:i + 1] for i in range(total)]
     params = solver.model.params
