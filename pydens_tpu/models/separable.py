@@ -68,6 +68,15 @@ class SeparableModel(Model):
         if "arch" in kwargs:
             raise ValueError("SeparableModel builds per-axis chain MLPs; "
                              "arch= does not apply")
+        if "branches" in kwargs or any(t in ("B", ".") for t in layout):
+            # The factorization widens the LAST dense layer to rank*n_out;
+            # a branch/concat join after it would silently break that
+            # bookkeeping.  Width-preserving tokens (R/+/*/n) are fine.
+            raise ValueError(
+                "SeparableModel's per-axis factor nets are chain MLPs — "
+                "'B' branch / '.' concat tokens and branches= do not apply "
+                "(the factorization rank is the last features entry); "
+                "multi-component solutions use n_out=")
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)

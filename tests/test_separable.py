@@ -231,3 +231,11 @@ def test_predict_grid_fallback_pointwise_model():
     xs = np.linspace(0, 1, 5)
     out = s.predict_grid(xs)
     np.testing.assert_allclose(out[:, 0], s.predict(xs).ravel(), rtol=1e-6)
+
+
+def test_separable_rejects_branch_layout_tokens():
+    # The factorization widens the last dense layer to rank*n_out; branch/
+    # concat tokens would silently break that — clear error instead.
+    for bad in (dict(layout="fa B f ."), dict(branches=[None])):
+        with pytest.raises(ValueError, match="chain MLPs"):
+            SeparableModel(ndims=2, **bad)

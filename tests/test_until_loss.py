@@ -8,6 +8,7 @@ full budget, model_torch.py:364-449) — this is the classical-solver
 "train to tolerance" stopping rule.
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 import pydens_tpu as pdt
@@ -75,3 +76,33 @@ def test_until_loss_spans_chunks_and_counts_globally():
     assert "converged_at" not in s2.history[-1]
     assert "stopped_on_nan" in s2.history[-1]
     assert not np.isfinite(s2.losses[-1])
+
+
+def test_until_loss_f32_rounding_classified_as_convergence():
+    """Regression (round-3 advisor): when the f64 tol rounds UP in float32,
+    a loss in (tol, float32(tol)] trips the device guard as converged —
+    the host re-check must compare against the f32 value the device used,
+    not the f64 original, or the stop is misclassified as divergence
+    ('non-finite loss' warning with a finite loss, stopped_on_nan instead
+    of converged_at)."""
+    import warnings
+
+    # A criterion pinning the loss to exactly float32(0.1); tol is an f64
+    # just BELOW it that rounds back up to it in f32:
+    #   loss == f32(tol)  -> device trips;  loss > tol (f64)  -> the old
+    # host check saw "not converged" and warned about a non-finite loss.
+    c32 = float(np.float32(0.1))
+    tol = c32 - 1e-9
+    assert float(np.float32(tol)) == c32 and tol < c32
+
+    s = Solver(lambda f, x: D(f, x), ndims=1, seed=0,
+               layout="fa f", features=[8, 1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any UserWarning -> test failure
+        s.fit(niters=50, batch_size=16, progress=False, until_loss=tol,
+              criterion=lambda pred, target: jnp.float32(0.1)
+              + 0.0 * jnp.mean(jnp.square(pred - target)))
+    rec = s.history[-1]
+    assert rec["converged_at"] == 0, rec
+    assert "stopped_on_nan" not in rec
+    assert len(s.losses) == 1 and float(s.losses[-1]) == c32
