@@ -134,3 +134,23 @@ def test_export_with_grad_matches_predict_grad(tmp_path):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(du)[:, :, 0], s.predict_grad(xs), rtol=1e-5, atol=1e-5)
+
+
+def test_export_branched_layout_roundtrip(tmp_path):
+    # Branch sub-network params (br1_*) and multi-head outputs survive the
+    # AOT export artifact unchanged.
+    def system(f, x):
+        u, v = f[:, 0:1], f[:, 1:2]
+        return (D(u, x) - v, D(v, x) + u)
+
+    s = Solver(system, ndims=1, seed=0, activation="Tanh",
+               layout="fa B f .", features=[12, 1],
+               branches=[dict(layout="f", features=[1])],
+               initial_condition=np.array([0.0, 1.0]))
+    s.fit(niters=30, batch_size=32, progress=False)
+    xs = np.linspace(0, 1, 21, dtype=np.float32)
+    want = s.predict(xs)
+    assert want.shape == (21, 2)
+    fn = pdt.load_exported(s.export(str(tmp_path / "branched.bin")))
+    np.testing.assert_allclose(np.asarray(fn(xs.reshape(-1, 1))), want,
+                               rtol=1e-5, atol=1e-6)
