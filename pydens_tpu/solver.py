@@ -56,6 +56,17 @@ _PLAN_AUTO_MAX_ELEMENTS = 2_000_000
 # BENCHMARKS.md "Divergence-guard cost").
 GUARD_BLOCK = 16
 
+# Rademacher probes per NTK-trace estimate (fit(loss_balancing='ntk')).
+# Probes live in residual space (cotangents through one shared vjp
+# pullback), where Hutchinson variance is the NTK's own off-diagonal mass
+# — near zero for the diagonal-dominant kernels PINN residuals produce —
+# and terms whose residual block has <= _NTK_PROBES entries (pointwise
+# boundary constraints) enumerate the basis outright, making their traces
+# exact.  4 probes keep the residual noise well below the 0.7/0.3 EMA
+# smoothing across the 10-rebalance warmup window (pinned against exact
+# Jacobian traces in tests/test_ntk_balancing.py).
+_NTK_PROBES = 4
+
 
 def _leaf_fn(k):
     return lambda ls: ls[k]
@@ -779,7 +790,38 @@ class Solver:
                 return jnp.zeros((1,), dtype)
             return jnp.concatenate(blocks)
 
+        def term_blocks_fn(params, leaves):
+            """Per-term flattened residual blocks, each scaled by
+            ``1/sqrt(size)`` (MSE normalization; static term weights NOT
+            applied), ordered exactly like ``term_order``.  For term j,
+            ``sum(block_j**2)`` equals its unweighted MSE, so the squared
+            Frobenius norm of ``d block_j / d theta`` is the (size-
+            normalized) NTK trace ``tr(K_j)`` that
+            ``fit(loss_balancing='ntk')`` estimates with Rademacher
+            probes.  A system's coupled equation residuals concatenate
+            into ONE equation block — they are one loss term."""
+            with variable_scope("read", params["variables"]):
+                ctx = make_ctx(params, leaves)
+                f = Expr(lambda ls: model.apply_leaves(params, ls),
+                         ctx, deriv=())
+                coords = [Expr(_leaf_fn(k), ctx, leaf_index=k)
+                          for k in range(total)]
+                blocks = []
+                if eq_weight is not None:
+                    eq = [as_array(r).reshape(-1)
+                          for r in _as_residual_list(equation(f, *coords))]
+                    eq = jnp.concatenate(eq) if len(eq) > 1 else eq[0]
+                    blocks.append(eq * (1.0 / eq.size) ** 0.5)
+                if nums:
+                    fwd = self._make_forward(params, ctx)
+                    for num, _ in nums:
+                        c = as_array(
+                            constraints[num](fwd, *coords)).reshape(-1)
+                        blocks.append(c * (1.0 / c.size) ** 0.5)
+            return tuple(blocks)
+
         loss_fn.term_order = term_order
+        resvec_fn.term_blocks = term_blocks_fn
         return loss_fn, point_residual, resvec_fn
 
     def _flatten_spec(self):
@@ -813,7 +855,8 @@ class Solver:
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
-               cfg["use_plan"], cfg["balance_every"], cfg["stop_on_nan"],
+               cfg["use_plan"], cfg["balance_every"],
+               cfg.get("balance_mode", "grad"), cfg["stop_on_nan"],
                cfg["causal"], cfg["rba"],
                # The fused-Taylor decision happens at trace time inside the
                # model; key the EFFECTIVE toggle (reachable only on the plan
@@ -896,6 +939,12 @@ class Solver:
         def flat_resvec(theta, leaves):
             return resvec_fn(_unflatten(flatten_spec, theta), leaves)
 
+        balance_mode = cfg.get("balance_mode", "grad")
+        term_blocks_fn = resvec_fn.term_blocks
+
+        def flat_term_blocks(theta, leaves):
+            return term_blocks_fn(_unflatten(flatten_spec, theta), leaves)
+
         # Levenberg-Marquardt routes around optax entirely: its update needs
         # the residual VECTOR function (for matrix-free JᵀJ products), not a
         # scalar loss/grad, and its only state is the damping scalar (which
@@ -976,6 +1025,79 @@ class Solver:
                 # Cast back: norms x np.float32 weights promote to f32,
                 # and lax.cond requires both branches to return identical
                 # avals (non-f32 models would crash at trace time).
+                return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
+
+            def rebalance_ntk(theta, key, leaves, wts):
+                """NTK-trace loss balancing (Wang/Yu/Perdikaris, arXiv
+                2007.14527 §4: lambda_j ∝ 1/tr(K_j)): each term's NTK trace
+                ``tr(K_j) = ||d r_j / d theta||_F^2`` is computed matrix-
+                free through ONE vjp pullback of the stacked per-term
+                residual blocks.  Probes live in RESIDUAL space
+                (``E_u ||J_j^T u||^2 == tr(K_j)`` for Rademacher ``u``),
+                where the Hutchinson variance is the OFF-diagonal mass of
+                the NTK itself — near zero for the diagonal-dominant
+                kernels PINN nets have — instead of the off-diagonal mass
+                of the (P x P, never diagonal) parameter-space Gram matrix;
+                terms whose residual block is small (pointwise boundary
+                constraints) enumerate the standard basis outright, making
+                their traces EXACT.  Weights are anchored at the equation
+                term's static weight, decade-clipped and EMA-smoothed
+                exactly like the grad-norm mode, so the two modes differ
+                only in the per-term scale statistic (squared Jacobian
+                Frobenius norms vs mean gradient magnitudes)."""
+                def blocks(th):
+                    return flat_term_blocks(th, leaves)
+
+                def traces_one(th, k):
+                    res, pull = jax.vjp(blocks, th)
+
+                    def sq_pullback(ct_list):
+                        g, = pull(tuple(ct_list))
+                        if not all_trainable:
+                            # Frozen coordinates do not move, so they are
+                            # not part of the kernel the training dynamics
+                            # see — drop their components.
+                            g = g * mask_vec
+                        return jnp.sum(g * g)
+
+                    traces = []
+                    for j, r in enumerate(res):
+                        zeros = [jnp.zeros_like(x) for x in res]
+                        if r.size <= _NTK_PROBES:
+                            # Exact: tr(K_j) = sum_i ||J_j^T e_i||^2.
+                            acc = jnp.asarray(0.0, dtype)
+                            for i in range(r.size):
+                                ct = list(zeros)
+                                ct[j] = jnp.zeros_like(r).at[i].set(1.0)
+                                acc = acc + sq_pullback(ct)
+                            traces.append(acc)
+                        else:
+                            acc = jnp.asarray(0.0, dtype)
+                            for p in range(_NTK_PROBES):
+                                u = jax.random.rademacher(
+                                    jax.random.fold_in(k, j * _NTK_PROBES
+                                                       + p),
+                                    r.shape, dtype)
+                                ct = list(zeros)
+                                ct[j] = u
+                                acc = acc + sq_pullback(ct)
+                            traces.append(acc / _NTK_PROBES)
+                    return jnp.stack(traces)
+
+                if n_models > 1:
+                    keys = jax.random.split(key, n_models)
+                    traces = jax.vmap(traces_one)(theta, keys).mean(axis=0)
+                else:
+                    traces = traces_one(theta, key)
+                lam = (traces[anchor_idx] / (traces + 1e-12)
+                       * static_weights[anchor_idx])
+                # Same guardrails as the grad-norm mode: a nearly-satisfied
+                # term's trace collapses and the raw inverse-trace ratio
+                # would amplify its noise until it dominates — clip to two
+                # decades around the anchor weight.
+                lam = jnp.clip(lam, 0.01 * static_weights[anchor_idx],
+                               100.0 * static_weights[anchor_idx])
+                lam = lam.at[anchor_idx].set(static_weights[anchor_idx])
                 return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
 
             def body(i, state):
@@ -1089,11 +1211,22 @@ class Solver:
                     # step, used for RNG folding) so balancing a warm solver
                     # — the documented balance-then-polish flow — works.
                     local = start + i - fit_start
+                    if balance_mode == "ntk":
+                        # Probe RNG: independent of the sampling stream
+                        # (distinct fold tag) and fresh per iteration so the
+                        # 10-rebalance EMA averages over probe draws too.
+                        bkey = jax.random.fold_in(
+                            jax.random.fold_in(base_key, 0x4E544B),
+                            start + i)
+                        branch = lambda w: rebalance_ntk(theta, bkey,
+                                                         leaves, w)
+                    else:
+                        branch = lambda w: rebalance(theta, leaves,
+                                                     point_weight, w)
                     wts = jax.lax.cond(
                         (local % balance_every == 0)
                         & (local < 10 * balance_every),
-                        lambda w: rebalance(theta, leaves, point_weight, w),
-                        lambda w: w, wts)
+                        branch, lambda w: w, wts)
                 if gn is not None:
                     # Levenberg-Marquardt (damped Gauss-Newton): solve
                     # (JᵀJ + λI) d = Jᵀr matrix-free — J·v is one jvp of the
@@ -1370,6 +1503,19 @@ class Solver:
         constraints whose gradients vanish (measured in BENCHMARKS.md).
         The starting weights are the ``loss_terms`` values; the learned
         weights land in ``history[-1]['balanced_weights']``.
+        ``loss_balancing='ntk'`` (or ``('ntk', interval)``) swaps the
+        per-term statistic for the NTK trace (Wang/Yu/Perdikaris): each
+        term's ``tr(K_j) = ||d r_j/d theta||_F^2`` is Hutchinson-estimated
+        with 4 residual-space Rademacher probes through one shared vjp
+        (exact basis enumeration for small constraint blocks), and weights
+        are pulled toward ``tr(K_eq)/tr(K_j)`` with the same anchor/clip/
+        EMA policy — prefer it when terms differ in per-POINT gradient
+        stiffness (the trace weighs every residual row, where the 'grad'
+        statistic reads only the batch-summed gradient, in which
+        oscillating per-point gradients can cancel; it requires the MSE
+        criterion and the plain residual objective, i.e. no adaptive/
+        causal/rba).  ``('grad', interval)`` spells the default mode
+        explicitly.
 
         ``causal=eps`` (float > 0) enables causal training for stiff
         time-dependent problems: within each batch, a point's squared
@@ -1671,12 +1817,50 @@ class Solver:
             causal = (t_axis, float(t_lo), float(t_hi))
 
         balance_every = 0
+        balance_mode = "grad"
         if loss_balancing:
-            balance_every = (100 if loss_balancing is True
-                             else int(loss_balancing))
+            if isinstance(loss_balancing, (tuple, list)):
+                if len(loss_balancing) != 2:
+                    raise ValueError(
+                        "loss_balancing=(mode, interval) takes exactly two "
+                        "elements, e.g. ('ntk', 100)")
+                balance_mode = str(loss_balancing[0])
+                balance_every = int(loss_balancing[1])
+            elif isinstance(loss_balancing, str):
+                balance_mode, balance_every = loss_balancing, 100
+            else:
+                balance_every = (100 if loss_balancing is True
+                                 else int(loss_balancing))
+            if balance_mode not in ("grad", "ntk"):
+                raise ValueError(
+                    f"loss_balancing mode {balance_mode!r} is not "
+                    "recognized; use 'grad' (per-term mean gradient "
+                    "magnitudes) or 'ntk' (per-term NTK traces)")
             if balance_every < 1:
                 raise ValueError("loss_balancing must be True or a positive "
                                  "rebalance interval in iterations")
+            if balance_mode == "ntk":
+                # The NTK traces are Jacobian Frobenius norms of the plain
+                # per-term residual blocks; reweighted/transformed
+                # objectives have no such block decomposition.
+                if (isinstance(criterion_key, str)
+                        and criterion_key not in ("mseloss", "mse")):
+                    raise ValueError(
+                        "loss_balancing='ntk' estimates residual-Jacobian "
+                        "traces, which represent the loss only for the MSE "
+                        "criterion — use the 'grad' mode otherwise")
+                if self.formulation == "variational":
+                    raise ValueError(
+                        "loss_balancing='ntk' needs per-term residual "
+                        "vectors; a variational (Deep Ritz) energy has "
+                        "none — use the 'grad' mode")
+                if (adaptive is not None or causal is not None
+                        or rba_cfg is not None):
+                    raise ValueError(
+                        "loss_balancing='ntk' traces the PLAIN residual "
+                        "operator; per-point/causal reweighting (adaptive/"
+                        "causal/rba) changes the objective it would "
+                        "balance — use the 'grad' mode with those")
             if len(loss_terms) < 2:
                 raise ValueError(
                     "loss_balancing needs at least two loss terms (an "
@@ -1711,7 +1895,8 @@ class Solver:
                              frozenset(self.model._frozen_variables)),
                    sampler=sampler, sampler_key=sampler_key,
                    resample=bool(resample), adaptive=adaptive,
-                   balance_every=balance_every, stop_on_nan=bool(stop_on_nan),
+                   balance_every=balance_every, balance_mode=balance_mode,
+                   stop_on_nan=bool(stop_on_nan),
                    causal=causal, rba=rba_cfg,
                    needs_value_fn=self._opt_needs_value_fn)
         run_chunk, prep = self._build_step_fn(cfg)
