@@ -212,6 +212,12 @@ raw.fit(niters=600, batch_size=256, lr=0.01,
         loss_balancing=50)
 print('learned term weights:', np.round(raw.history[-1]['balanced_weights'], 1))
 """),
+    md("""`loss_balancing='ntk'` swaps the statistic for per-term NTK
+traces (per-row residual-Jacobian norms, Hutchinson-estimated) — prefer
+it when per-point gradients oscillate and the batch-summed grad-norm
+statistic cancels, e.g. high-frequency Helmholtz
+(examples/31_ntk_balanced_helmholtz.py; measured A/B in BENCHMARKS.md
+"NTK-trace loss balancing")."""),
     md("""## 9. Serving: export the trained field
 
 A trained solution exports to a self-contained StableHLO artifact
