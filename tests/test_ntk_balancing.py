@@ -117,6 +117,29 @@ def test_ntk_balancing_composes_with_freeze_and_ensemble():
     assert np.all(np.isfinite(wts)) and min(wts[1:]) > 1.0, wts
 
 
+def test_ntk_balancing_composes_with_separable():
+    # The trace estimator runs on the shared _build_loss_fn term blocks,
+    # so the separable (grid-leaf) path must produce finite anchored
+    # weights too: residual blocks are the broadcast grid residuals
+    # flattened, constraints stay pointwise.
+    from pydens_tpu import SeparableModel
+
+    def poisson(f, x, y):
+        return D(D(f, x), x) + D(D(f, y), y) - 1.0
+
+    s = Solver(poisson, ndims=2, boundary_condition=0, seed=0,
+               model=SeparableModel, layout="fa f", features=[16, 8],
+               constraints=(lambda f, x, y: f.grad(
+                   np.array([0.5], np.float32),
+                   np.array([0.5], np.float32), wrt=0),))
+    s.fit(niters=40, batch_size=16, lr=0.005,
+          loss_terms={"equation": 1.0, "constraint_0": 1.0},
+          loss_balancing=("ntk", 10), progress=False)
+    wts = np.asarray(s.history[-1]["balanced_weights"])
+    assert wts.shape == (2,) and wts[0] == 1.0
+    assert np.all(np.isfinite(wts)) and wts[1] > 0, wts
+
+
 def test_ntk_balancing_validation():
     s = _beam_solver(beam_raw, features=(8, 8, 1))
     with pytest.raises(ValueError, match="not recognized"):
