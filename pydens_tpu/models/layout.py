@@ -373,10 +373,14 @@ def make_layout_network(layout, features, activation, in_dim,
                         f"unknown branch spec key(s) {sorted(spec)} for 'B' "
                         f"#{bi + 1}; known: layout, features, activation, "
                         "branches")
-                sub_nets.append(make_layout_network(
+                sub = make_layout_network(
                     b_layout, b_features, b_act, in_dim=cur, dtype=dtype,
-                    branches=b_branches))
-                dims_stack.append(b_features[-1])
+                    branches=b_branches)
+                sub_nets.append(sub)
+                # The branch's true output width (its own symbolic pass may
+                # change width after the last dense layer, e.g. a trailing
+                # '.' concat) — NOT b_features[-1].
+                dims_stack.append(sub[1].out_dim)
             bi += 1
         elif tok in ("+", "*"):
             skip = dims_stack.pop()
@@ -391,6 +395,7 @@ def make_layout_network(layout, features, activation, in_dim,
         elif tok == ".":
             cur = cur + dims_stack.pop()
 
+    out_dim = cur
     ln_names = [f"ln{j + 1}" for j in range(len(ln_dims))]
     branch_names = []
     for i, sub in enumerate(sub_nets):
@@ -632,6 +637,7 @@ def make_layout_network(layout, features, activation, in_dim,
     apply.tokens = tokens
     apply.activations = acts
     apply.layer_names = layer_names
+    apply.out_dim = out_dim
     apply.taylor = taylor
     apply.taylor_taps = taylor_taps
     apply.taylor_ok = taylor_ok

@@ -808,10 +808,16 @@ class Solver:
                           for k in range(total)]
                 blocks = []
                 if eq_weight is not None:
+                    # Per-residual 1/sqrt(size) scaling, matching loss_fn's
+                    # sum of per-residual MEANS for coupled systems (a
+                    # whole-block 1/sqrt(total) would make sum(block**2)
+                    # 1/k of the actual k-residual equation term and bias
+                    # the NTK traces low by k).  Same template as resvec_fn.
                     eq = [as_array(r).reshape(-1)
                           for r in _as_residual_list(equation(f, *coords))]
-                    eq = jnp.concatenate(eq) if len(eq) > 1 else eq[0]
-                    blocks.append(eq * (1.0 / eq.size) ** 0.5)
+                    eq = [r * (1.0 / r.size) ** 0.5 for r in eq]
+                    blocks.append(jnp.concatenate(eq) if len(eq) > 1
+                                  else eq[0])
                 if nums:
                     fwd = self._make_forward(params, ctx)
                     for num, _ in nums:
@@ -992,6 +998,25 @@ class Solver:
                         lambda m, t: jnp.full(t.shape, m, dtype),
                         mask, self._param_template))
 
+            def _anchored_ema(stat, wts):
+                """Shared tail of both balancing modes ("differ only in the
+                per-term scale statistic" is structural, not aspirational):
+                inverse-statistic weights anchored at the equation term's
+                static weight, clipped to two decades around the anchor (a
+                nearly-satisfied term's statistic collapses and the raw
+                inverse ratio would amplify that term's stochastic noise
+                until it dominates — measured: weight 1900x, solution
+                destroyed), anchor re-pinned, then EMA-smoothed.  The cast
+                back matters: stat x np.float32 weights promote to f32, and
+                lax.cond requires both branches to return identical avals
+                (non-f32 models would crash at trace time)."""
+                lam = (stat[anchor_idx] / (stat + 1e-12)
+                       * static_weights[anchor_idx])
+                lam = jnp.clip(lam, 0.01 * static_weights[anchor_idx],
+                               100.0 * static_weights[anchor_idx])
+                lam = lam.at[anchor_idx].set(static_weights[anchor_idx])
+                return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
+
             def rebalance(theta, leaves, point_weight, wts):
                 """Grad-norm loss balancing (Wang/Teng/Perdikaris-style):
                 per-term mean |grad| via one-hot term weights, constraint
@@ -1011,21 +1036,7 @@ class Solver:
                     if not all_trainable:
                         g = g * mask_vec
                     norms.append(jnp.mean(jnp.abs(g)))
-                norms = jnp.stack(norms)
-                lam = (norms[anchor_idx] / (norms + 1e-12)
-                       * static_weights[anchor_idx])
-                # A nearly-satisfied term has a vanishing gradient; the raw
-                # ratio would blow its weight up and amplify that term's
-                # stochastic noise until it dominates training (measured:
-                # weight 1900x, solution destroyed).  Clip the target to two
-                # decades around the anchor weight.
-                lam = jnp.clip(lam, 0.01 * static_weights[anchor_idx],
-                               100.0 * static_weights[anchor_idx])
-                lam = lam.at[anchor_idx].set(static_weights[anchor_idx])
-                # Cast back: norms x np.float32 weights promote to f32,
-                # and lax.cond requires both branches to return identical
-                # avals (non-f32 models would crash at trace time).
-                return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
+                return _anchored_ema(jnp.stack(norms), wts)
 
             def rebalance_ntk(theta, key, leaves, wts):
                 """NTK-trace loss balancing (Wang/Yu/Perdikaris, arXiv
@@ -1089,16 +1100,7 @@ class Solver:
                     traces = jax.vmap(traces_one)(theta, keys).mean(axis=0)
                 else:
                     traces = traces_one(theta, key)
-                lam = (traces[anchor_idx] / (traces + 1e-12)
-                       * static_weights[anchor_idx])
-                # Same guardrails as the grad-norm mode: a nearly-satisfied
-                # term's trace collapses and the raw inverse-trace ratio
-                # would amplify its noise until it dominates — clip to two
-                # decades around the anchor weight.
-                lam = jnp.clip(lam, 0.01 * static_weights[anchor_idx],
-                               100.0 * static_weights[anchor_idx])
-                lam = lam.at[anchor_idx].set(static_weights[anchor_idx])
-                return (0.7 * wts + 0.3 * lam).astype(wts.dtype)
+                return _anchored_ema(traces, wts)
 
             def body(i, state):
                 # Carry layout: (theta, opt_state[, wts][, rba_w]) — the
@@ -1842,13 +1844,21 @@ class Solver:
             if balance_mode == "ntk":
                 # The NTK traces are Jacobian Frobenius norms of the plain
                 # per-term residual blocks; reweighted/transformed
-                # objectives have no such block decomposition.
-                if (isinstance(criterion_key, str)
-                        and criterion_key not in ("mseloss", "mse")):
+                # objectives have no such block decomposition.  Unlike the
+                # LM/adaptive/rba guards (which let a knowingly-composable
+                # custom callable through, since those only reweight the
+                # residual), a callable criterion here would be silently
+                # balanced against the WRONG kernel — the traces would
+                # describe an MSE the fit never minimizes — so only the MSE
+                # criterion itself is accepted.
+                if not (isinstance(criterion_key, str)
+                        and criterion_key in ("mseloss", "mse")):
                     raise ValueError(
                         "loss_balancing='ntk' estimates residual-Jacobian "
                         "traces, which represent the loss only for the MSE "
-                        "criterion — use the 'grad' mode otherwise")
+                        "criterion (custom callables included — the traces "
+                        "would balance an objective the fit does not "
+                        "minimize) — use the 'grad' mode otherwise")
                 if self.formulation == "variational":
                     raise ValueError(
                         "loss_balancing='ntk' needs per-term residual "

@@ -197,6 +197,46 @@ def test_branch_spec_validation():
             branches=[dict(layout="f", features=[1], nope=3)])
 
 
+def test_branch_output_width_is_its_true_width():
+    """A branch whose own layout changes width after its last dense layer
+    (e.g. a trailing '.' concat) must report its TRUE output width to the
+    parent's symbolic pass — not ``features[-1]``, which under-sized the
+    next dense layer's fan_in (runtime dot-shape crash) and mis-validated
+    product joins (round-4 review fix)."""
+    # Branch 'R f .' on width 6 outputs 4 + 6 = 10, not features[-1] = 4.
+    init, apply, _ = make_layout_network(
+        "fa B f . f", [6, 1, 1], "Tanh", in_dim=2,
+        branches=[dict(layout="R f .", features=[4])])
+    params = init(jax.random.key(7))
+    assert params["fc3"]["w"].shape == (11, 1)  # 1 (main) + 10 (branch)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(5, 2)), jnp.float32)
+    h = jnp.tanh(x @ params["fc1"]["w"] + params["fc1"]["b"])
+    br = jnp.concatenate(
+        [h @ params["br1_fc1"]["w"] + params["br1_fc1"]["b"], h], axis=-1)
+    main = h @ params["fc2"]["w"] + params["fc2"]["b"]
+    expect = (jnp.concatenate([main, br], axis=-1) @ params["fc3"]["w"]
+              + params["fc3"]["b"])
+    out = apply(params, x)
+    assert out.shape == (5, 1) and apply.out_dim == 1
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+    # The same true width makes a width-10 product join VALID (it was
+    # rejected as "joins width 4 with width 10").
+    init2, apply2, _ = make_layout_network(
+        "fa B fa * f", [6, 10, 1], "Tanh", in_dim=2,
+        branches=[dict(layout="R f .", features=[4])])
+    out2 = apply2(init2(jax.random.key(8)), x)
+    assert out2.shape == (5, 1) and np.isfinite(np.asarray(out2)).all()
+
+    # A dense-free branch (features=[]) is a clean pure-join, not an
+    # IndexError.
+    init3, apply3, _ = make_layout_network(
+        "fa B f . f", [6, 1, 1], "Tanh", in_dim=2,
+        branches=[dict(layout="R .", features=[])])
+    out3 = apply3(init3(jax.random.key(9)), x)
+    assert out3.shape == (5, 1)
+
+
 def test_layernorm_token_math_and_plan_gating():
     init, apply, names = make_layout_network(
         "fan fa f", [6, 6, 1], "Tanh", in_dim=2)
@@ -222,10 +262,12 @@ def test_layernorm_token_math_and_plan_gating():
     ("fa fa B f .", [dict(layout="fa f", features=[4, 2])]),
     ("fa B fa * f", None),
     ("faR fa + B f .", None),
+    ("fa B f . f", [dict(layout="R f .", features=[4])]),
 ])
 def test_superset_taylor_taps_match_nested_jvp(layout, branches):
     feats = {"fa fa B f .": [8, 8, 1], "fa B fa * f": [6, 6, 1],
-             "faR fa + B f .": [6, 6, 1]}[layout]
+             "faR fa + B f .": [6, 6, 1],
+             "fa B f . f": [6, 1, 1]}[layout]
     init, apply, _ = make_layout_network(
         layout, feats, "Tanh", in_dim=2, branches=branches)
     assert apply.taylor_ok

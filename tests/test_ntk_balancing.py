@@ -140,6 +140,35 @@ def test_ntk_balancing_composes_with_separable():
     assert np.all(np.isfinite(wts)) and wts[1] > 0, wts
 
 
+def test_system_term_block_matches_loss_term():
+    """For a k-residual system, ``sum(eq_block**2)`` must equal the loss
+    equation term (a sum of per-residual MEANS) — a whole-block
+    1/sqrt(total_size) scaling made it 1/k of the term and biased
+    tr(K_eq) low by k (round-4 review fix)."""
+    def system(f, x):
+        u, v = f[:, 0:1], f[:, 1:2]
+        return (D(u, x) - v, D(v, x) + u)
+
+    s = Solver(system, ndims=1, seed=0, layout="fa f", features=[8, 2],
+               initial_condition=lambda *a: np.array([0.0, 1.0]),
+               constraints=(lambda f, x: f.grad(RIGHT, wrt=0),))
+    mse = lambda a, b: jnp.mean((a - b) ** 2)
+    loss_fn, _, resvec_fn = s._build_loss_fn(
+        (("equation", 1.0), ("constraint_0", 1.0)), mse)
+    pts = np.random.default_rng(5).uniform(0, 1, (32, 1)).astype(np.float32)
+    leaves = [jnp.asarray(pts)]
+    params = s.model.params
+    blocks = resvec_fn.term_blocks(params, leaves)
+    eq_term = float(loss_fn(params, leaves,
+                            term_weights=jnp.asarray([1.0, 0.0])))
+    np.testing.assert_allclose(float(jnp.sum(blocks[0] ** 2)), eq_term,
+                               rtol=1e-5)
+    con_term = float(loss_fn(params, leaves,
+                             term_weights=jnp.asarray([0.0, 1.0])))
+    np.testing.assert_allclose(float(jnp.sum(blocks[1] ** 2)), con_term,
+                               rtol=1e-5)
+
+
 def test_ntk_balancing_validation():
     s = _beam_solver(beam_raw, features=(8, 8, 1))
     with pytest.raises(ValueError, match="not recognized"):
@@ -151,6 +180,13 @@ def test_ntk_balancing_validation():
     with pytest.raises(ValueError, match="MSE"):
         s.fit(niters=10, batch_size=16, loss_terms=LT1,
               loss_balancing="ntk", criterion="L1Loss", progress=False)
+    # A custom CALLABLE criterion must be rejected too: the traces would
+    # balance an MSE the fit never minimizes (round-4 review fix).
+    with pytest.raises(ValueError, match="MSE"):
+        s.fit(niters=10, batch_size=16, loss_terms=LT1,
+              loss_balancing="ntk",
+              criterion=lambda a, b: jnp.mean(jnp.abs(a - b)),
+              progress=False)
     with pytest.raises(ValueError, match="rba"):
         s.fit(niters=10, batch_size=16, loss_terms=LT1, rba=True,
               loss_balancing="ntk", progress=False)
