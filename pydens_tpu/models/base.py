@@ -807,7 +807,8 @@ class ConvBlockModel(Model):
                  domain=(0, 1), nparams=0, layout="fafaf",
                  features=(20, 30, 1), activation="Sigmoid", units=None,
                  dtype=jnp.float32, periodic=None, fourier_features=None,
-                 arch="mlp", periodic_ic_decay=None, branches=None, **kwargs):
+                 arch="mlp", periodic_ic_decay=None, branches=None,
+                 adaptive_activation=None, **kwargs):
         super().__init__(ndims=ndims, initial_condition=initial_condition,
                          boundary_condition=boundary_condition, domain=domain,
                          nparams=nparams, dtype=dtype, **kwargs)
@@ -931,6 +932,11 @@ class ConvBlockModel(Model):
                 raise ValueError(
                     "arch='modified' has no layout string — branches= only "
                     "applies to 'B' tokens in a layout chain")
+            if adaptive_activation is not None:
+                raise ValueError(
+                    "adaptive_activation= (L-LAAF slopes) applies to layout-"
+                    "chain activations; the gated modified MLP has its own "
+                    "trainable gate structure — use arch='mlp'")
             from .layout import make_modified_mlp_network
             self._net_init, self._net_apply, self.layer_names = \
                 make_modified_mlp_network(self.features, activation,
@@ -939,7 +945,8 @@ class ConvBlockModel(Model):
             self._net_init, self._net_apply, self.layer_names = \
                 make_layout_network(layout, self.features, activation,
                                     in_dim=in_dim, dtype=dtype,
-                                    branches=branches)
+                                    branches=branches,
+                                    adaptive_activation=adaptive_activation)
         self._fused_apply = None
         self._fused_taylor_cache = {}
         if not self._net_apply.taylor_ok:
@@ -1012,7 +1019,8 @@ class ConvBlockModel(Model):
         if mode != "always" or self.ensemble_size > 1:
             return None
         if (self.dtype != jnp.float32 or self.periodic_dims
-                or self._rff_b is not None or self.arch != "mlp"):
+                or self._rff_b is not None or self.arch != "mlp"
+                or getattr(self._net_apply, "adaptive", False)):
             return None
         key = tuple(closure)
         if key not in self._fused_taylor_cache:
@@ -1045,6 +1053,7 @@ class ConvBlockModel(Model):
         import os
         return (self.arch == "mlp"
                 and set(self._net_apply.tokens) <= set("fcaR+")
+                and not getattr(self._net_apply, "adaptive", False)
                 and os.environ.get("PYDENS_TPU_FUSED", "never") == "always")
 
 

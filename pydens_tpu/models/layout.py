@@ -281,7 +281,8 @@ def parse_layout(layout):
 
 
 def make_layout_network(layout, features, activation, in_dim,
-                        dtype=jnp.float32, branches=None):
+                        dtype=jnp.float32, branches=None,
+                        adaptive_activation=None):
     """Build ``(init, apply, layer_names)`` for a layout-string network.
 
     Parameters
@@ -299,8 +300,26 @@ def make_layout_network(layout, features, activation, in_dim,
         ``layout``, ``features`` and optionally ``activation`` (defaults
         to the parent spec) and nested ``branches``.  ``None`` (or a
         missing trailing entry) means the branch is the identity.
+    adaptive_activation : float, optional
+        Layer-wise adaptive activation (L-LAAF, Jagtap/Kawaguchi/
+        Karniadakis, arXiv 1909.12228): each activation slot gets ONE
+        trainable slope ``a_i`` applied as ``sigma(n * a_i * h)`` with
+        the given fixed factor ``n`` (the paper's scale; ``a_i`` init
+        ``1/n`` so training starts at the plain network).  Slope params
+        are freeze-addressable as ``aa{i}``; branches inherit the same
+        ``n`` with their own slopes.  No reference counterpart
+        (superset).  The slope is a LINEAR pre-scale, so the Taylor
+        fast path stays exact (value and every tap scale together).
     """
     tokens = parse_layout(layout)
+    aa_scale = None
+    if adaptive_activation is not None:
+        aa_scale = float(adaptive_activation)
+        if not aa_scale > 0:
+            raise ValueError(
+                f"adaptive_activation={adaptive_activation!r} must be a "
+                "positive scale factor n (slopes train as sigma(n*a*h), "
+                "a init 1/n); typical n: 5-10")
     n_branch_slots = sum(1 for t in tokens if t == "B")
     branches = list(branches or [])
     if len(branches) > n_branch_slots:
@@ -375,7 +394,8 @@ def make_layout_network(layout, features, activation, in_dim,
                         "branches")
                 sub = make_layout_network(
                     b_layout, b_features, b_act, in_dim=cur, dtype=dtype,
-                    branches=b_branches)
+                    branches=b_branches,
+                    adaptive_activation=adaptive_activation)
                 sub_nets.append(sub)
                 # The branch's true output width (its own symbolic pass may
                 # change width after the last dense layer, e.g. a trailing
@@ -397,11 +417,13 @@ def make_layout_network(layout, features, activation, in_dim,
 
     out_dim = cur
     ln_names = [f"ln{j + 1}" for j in range(len(ln_dims))]
+    aa_names = ([f"aa{j + 1}" for j in range(n_act)]
+                if aa_scale is not None else [])
     branch_names = []
     for i, sub in enumerate(sub_nets):
         if sub is not None:
             branch_names += [f"br{i + 1}_{nm}" for nm in sub[2]]
-    layer_names = dense_names + ln_names + branch_names
+    layer_names = dense_names + ln_names + aa_names + branch_names
 
     # The Taylor fast path extracts sigma'/sigma'' as J·1 via jvp-with-ones,
     # which is only valid for ELEMENTWISE activations (diagonal Jacobians).
@@ -442,6 +464,9 @@ def make_layout_network(layout, features, activation, in_dim,
         for name, width in zip(ln_names, ln_dims):
             params[name] = {"g": jnp.ones((width,), dtype),
                             "b": jnp.zeros((width,), dtype)}
+        for name in aa_names:
+            # a = 1/n so n*a = 1 at init: LAAF starts as the plain net.
+            params[name] = {"a": jnp.full((1,), 1.0 / aa_scale, dtype)}
         for i, sub in enumerate(sub_nets):
             if sub is None:
                 continue
@@ -462,6 +487,8 @@ def make_layout_network(layout, features, activation, in_dim,
                             precision=jax.lax.Precision.HIGHEST) + layer["b"]
                 di_ += 1
             elif tok == "a":
+                if aa_names:
+                    h = h * (aa_scale * params[aa_names[ai_]]["a"])
                 h = acts[ai_](h)
                 ai_ += 1
             elif tok == "n":
@@ -547,6 +574,12 @@ def make_layout_network(layout, features, activation, in_dim,
                                       closure)
                 di_ += 1
             elif tok == "a":
+                if aa_names:
+                    # The LAAF slope is a linear pre-scale: the value and
+                    # every directional tap scale together — exact.
+                    s = aa_scale * params[aa_names[ai_]]["a"]
+                    V = V * s
+                    taps = {mi: t * s for mi, t in taps.items()}
                 # sigma^(k) at the incoming V via nested jvp-with-ones
                 # (exact for elementwise activations; XLA CSEs the chains).
                 V, taps = _act_taps(acts[ai_], V, taps, closure, max_order)
@@ -638,6 +671,7 @@ def make_layout_network(layout, features, activation, in_dim,
     apply.activations = acts
     apply.layer_names = layer_names
     apply.out_dim = out_dim
+    apply.adaptive = aa_scale is not None
     apply.taylor = taylor
     apply.taylor_taps = taylor_taps
     apply.taylor_ok = taylor_ok

@@ -59,7 +59,7 @@ class SeparableModel(Model):
                  domain=(0, 1), nparams=0, layout="fa fa f",
                  features=(32, 32, 32), activation="Tanh", units=None,
                  n_out=1, dtype=jnp.float32, periodic=None,
-                 periodic_ic_decay=None, **kwargs):
+                 periodic_ic_decay=None, adaptive_activation=None, **kwargs):
         if "fourier_features" in kwargs:
             raise ValueError(
                 "SeparableModel does not support fourier_features= — use "
@@ -132,7 +132,8 @@ class SeparableModel(Model):
             in_dim = (2 * self.periodic_harmonics[i]
                       if i in self.periodic_dims else 1)
             init, apply, _names = make_layout_network(
-                layout, out_features, activation, in_dim=in_dim, dtype=dtype)
+                layout, out_features, activation, in_dim=in_dim, dtype=dtype,
+                adaptive_activation=adaptive_activation)
             self._axis_nets.append((init, apply))
         self.network_apply_taylor = None  # derivatives ride per-axis jvp
 
