@@ -947,6 +947,12 @@ class ConvBlockModel(Model):
                                     in_dim=in_dim, dtype=dtype,
                                     branches=branches,
                                     adaptive_activation=adaptive_activation)
+            if (adaptive_activation is not None
+                    and not self._net_apply.adaptive):
+                raise ValueError(
+                    f"adaptive_activation= needs at least one 'a' slot in "
+                    f"layout {layout!r} (or its branches) to attach a "
+                    "trainable slope to — it would be a silent no-op")
         self._fused_apply = None
         self._fused_taylor_cache = {}
         if not self._net_apply.taylor_ok:

@@ -671,7 +671,14 @@ def make_layout_network(layout, features, activation, in_dim,
     apply.activations = acts
     apply.layer_names = layer_names
     apply.out_dim = out_dim
-    apply.adaptive = aa_scale is not None
+    # True only if a slope actually EXISTS somewhere (this chain or a
+    # branch) — a slope-free net must not gate fused paths off, and the
+    # model ctor uses this to reject a silently no-op adaptive_activation=
+    # (the check lives there, not here: an activation-free BRANCH inside
+    # an adaptive parent is legitimate).
+    apply.adaptive = bool(aa_names) or any(
+        sub is not None and getattr(sub[1], "adaptive", False)
+        for sub in sub_nets)
     apply.taylor = taylor
     apply.taylor_taps = taylor_taps
     apply.taylor_ok = taylor_ok

@@ -135,6 +135,12 @@ class SeparableModel(Model):
                 layout, out_features, activation, in_dim=in_dim, dtype=dtype,
                 adaptive_activation=adaptive_activation)
             self._axis_nets.append((init, apply))
+        if (adaptive_activation is not None
+                and not self._axis_nets[0][1].adaptive):
+            raise ValueError(
+                f"adaptive_activation= needs at least one 'a' slot in the "
+                f"per-axis layout {layout!r} to attach a trainable slope "
+                "to — it would be a silent no-op")
         self.network_apply_taylor = None  # derivatives ride per-axis jvp
 
     # -- per-axis input embedding -------------------------------------------

@@ -118,3 +118,24 @@ def test_laaf_validation():
     with pytest.raises(ValueError, match="modified"):
         Solver(lambda f, x: D(f, x), ndims=1, arch="modified",
                features=[8, 8, 1], adaptive_activation=5.0)
+    # Zero 'a' slots anywhere = silent no-op: the model rejects it.
+    with pytest.raises(ValueError, match="silent no-op"):
+        Solver(lambda f, x: D(f, x), ndims=1, layout="f f",
+               features=[8, 1], adaptive_activation=5.0)
+    from pydens_tpu import SeparableModel
+    with pytest.raises(ValueError, match="silent no-op"):
+        Solver(lambda f, x, y: D(D(f, x), x) + D(D(f, y), y), ndims=2,
+               boundary_condition=0, model=SeparableModel, layout="f f",
+               features=[8, 4], adaptive_activation=5.0)
+    # An activation-free BRANCH inside an adaptive parent is legitimate:
+    # the parent's slots carry slopes, apply.adaptive is True, no raise.
+    init, apply, names = make_layout_network(
+        "fa B f . f", [6, 1, 1], "Tanh", in_dim=2,
+        branches=[dict(layout="R f .", features=[4])],
+        adaptive_activation=5.0)
+    assert apply.adaptive and "aa1" in names
+    # A slope-free builder result reports adaptive=False (the fused-path
+    # gates stay available); the reject happens at the model level.
+    _, apply2, _ = make_layout_network("f", [1], "Tanh", in_dim=1,
+                                       adaptive_activation=5.0)
+    assert not apply2.adaptive
