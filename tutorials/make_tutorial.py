@@ -261,6 +261,22 @@ xs = np.linspace(0, 1, 400)
 print('max err:', np.abs(hf.predict(xs).ravel()
                          - np.sin(2 * np.pi * k * xs)).max())
 """),
+    md("""### A cheap accelerant for smooth problems
+
+The inverse of the spectral-bias story: when the solution is SMOOTH,
+layer-wise adaptive activations (`adaptive_activation=n`, L-LAAF) give
+every activation slot one trainable slope `sigma(n*a*h)` and buy a
+measured 3-11x lower residual loss at the same budget (README Poisson,
+BENCHMARKS.md "Adaptive activations") for a handful of scalar
+parameters.  It does NOT fix spectral bias — frequency content the net
+can't see needs the embeddings above:"""),
+    code("""
+fast = Solver(pde, ndims=2, boundary_condition=1,
+              layout='fa fa fa f', features=[10, 12, 15, 1],
+              activation='Tanh', adaptive_activation=10.0)
+fast.fit(batch_size=100, niters=1500)
+print('final loss:', fast.losses[-1])  # ~3e-4 vs ~1.7e-3 plain
+"""),
     md("""## 3D and beyond: separable PINNs
 
 Pointwise collocation can't cover a 3D+ volume — `N**3` points cost
