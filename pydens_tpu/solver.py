@@ -68,6 +68,51 @@ GUARD_BLOCK = 16
 _NTK_PROBES = 4
 
 
+def _loop_unroll():
+    """Body-unroll factor for the compiled training loops.  Unrolling the
+    (dynamic-trip) while loop's body 4x amortizes XLA loop bookkeeping —
+    measured +10-12% sustained on the tiny-step headline config on v5e
+    (BENCHMARKS.md "Loop unrolling"; the iteration order and arithmetic
+    are IDENTICAL, so results are bit-equal and the guard's
+    snapshot/replay semantics are untouched).  Default: 4 on TPU, 1 on
+    CPU — the CPU test suite is compile-time-bound and inlining the body
+    4x into every loop would inflate every one of its one-per-config
+    compiles for no wall-clock benefit.  Override:
+    ``PYDENS_TPU_LOOP_UNROLL=n``."""
+    import os
+    v = os.environ.get("PYDENS_TPU_LOOP_UNROLL")
+    if v is not None:
+        n = int(v)
+        if n < 1:
+            raise ValueError(f"PYDENS_TPU_LOOP_UNROLL={v!r} must be >= 1")
+        return n
+    return 4 if jax.default_backend() == "tpu" else 1
+
+
+def _unrolled_fori(lo, hi, body_fn, state):
+    """``fori_loop(lo, hi, body_fn, state)`` with the body unrolled
+    ``_loop_unroll()``-fold.  The trip count stays DYNAMIC (one compile
+    serves every ``niters``): full unroll-blocks run in a while loop,
+    the < unroll-size tail one-by-one.  Exactly the same body calls in
+    exactly the same order as the plain fori."""
+    k = _loop_unroll()
+    if k == 1:
+        return jax.lax.fori_loop(lo, hi, body_fn, state)
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    main_hi = lo + ((hi - lo) // k) * k
+
+    def blk(st):
+        i, s = st
+        for j in range(k):
+            s = body_fn(i + j, s)
+        return (i + k, s)
+
+    i, state = jax.lax.while_loop(lambda st: st[0] < main_hi, blk,
+                                  (lo, state))
+    return jax.lax.fori_loop(i, hi, body_fn, state)
+
+
 def _leaf_fn(k):
     return lambda ls: ls[k]
 
@@ -871,6 +916,10 @@ class Solver:
                # or toggles on non-plan fits don't force spurious recompiles.
                cfg["use_plan"] and
                os.environ.get("PYDENS_TPU_FUSED_TAYLOR") == "always",
+               # Trace-time loop-unroll factor (env/backend-dependent):
+               # keyed so changing it between fits recompiles instead of
+               # silently reusing the other factor's executable.
+               _loop_unroll(),
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]
@@ -1358,7 +1407,7 @@ class Solver:
             # BENCH_r03's best-of-5 wall doubling).
             losses = jnp.zeros((chunk,), dtype)
             if not stop_on_nan:
-                out_carry, losses = jax.lax.fori_loop(
+                out_carry, losses = _unrolled_fori(
                     jnp.int32(0), jnp.int32(n),
                     lambda i, s: body(i, s)[0], (carry, losses))
                 return out_carry, losses, jnp.int32(n)
@@ -1397,8 +1446,8 @@ class Solver:
                 i, s, armed, stop_at = state
                 snap = s[0]
                 m = jnp.minimum(jnp.int32(GUARD_BLOCK), stop_at - i)
-                s_new = jax.lax.fori_loop(
-                    jnp.int32(0), m, lambda j, s2: body(i + j, s2)[0], s)
+                s_new = _unrolled_fori(
+                    i, i + m, lambda idx, s2: body(idx, s2)[0], s)
                 # Block verdict from the loss buffer, one vectorized check
                 # per block — tracking it in the inner carry instead costs
                 # a vector->scalar sync every iteration.  dynamic_slice
