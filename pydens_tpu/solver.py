@@ -68,17 +68,36 @@ GUARD_BLOCK = 16
 _NTK_PROBES = 4
 
 
-def _loop_unroll():
+# Regime bound for the 4x body unroll: estimated per-iteration work
+# (batch_size x parameter count) above which the step is large enough that
+# XLA loop bookkeeping (~us, fixed) is noise while inlining the body 4x
+# into BOTH loop sites multiplies the XLA compile time (measured on the
+# Burgers example: adaptive-config compile 10 s -> 30 s, the r04 4x e2e
+# wall regression — BENCHMARKS.md "Loop unrolling").  The README headline
+# config (batch 100 x ~500 params = 5e4) sits comfortably inside; the
+# large-batch/deep configs sit orders of magnitude outside.
+_UNROLL_MAX_WORK = 200_000
+
+
+def _loop_unroll(work=None, big_body=False):
     """Body-unroll factor for the compiled training loops.  Unrolling the
     (dynamic-trip) while loop's body 4x amortizes XLA loop bookkeeping —
     measured +10-12% sustained on the tiny-step headline config on v5e
-    (BENCHMARKS.md "Loop unrolling"; the iteration order and arithmetic
-    are IDENTICAL, so results are bit-equal and the guard's
-    snapshot/replay semantics are untouched).  Default: 4 on TPU, 1 on
-    CPU — the CPU test suite is compile-time-bound and inlining the body
-    4x into every loop would inflate every one of its one-per-config
-    compiles for no wall-clock benefit.  Override:
-    ``PYDENS_TPU_LOOP_UNROLL=n``."""
+    (BENCHMARKS.md "Loop unrolling").  The body runs in the same
+    iteration order with the same guard snapshot/replay semantics
+    (``converged_at``, iteration counts and stop indices match the plain
+    loop exactly — pinned in tests/test_loop_unroll.py); floating-point
+    results may differ at ULP level across unroll factors because XLA
+    refuses the inlined bodies differently.
+
+    Defaults: 4 on TPU in the tiny-step regime ONLY — ``work`` (batch x
+    params) must be under ``_UNROLL_MAX_WORK`` and the body must not
+    embed a linesearch/Gauss-Newton solve (``big_body``) — else 1; the
+    win is a fixed ~us of loop bookkeeping per iteration, invisible
+    outside that regime, while the compile cost of the 4x-inlined body
+    is very visible (the r04 Burgers wall regression).  Always 1 on
+    CPU — the CPU test suite is compile-time-bound.  Override:
+    ``PYDENS_TPU_LOOP_UNROLL=n`` (applies everywhere, no regime gate)."""
     import os
     v = os.environ.get("PYDENS_TPU_LOOP_UNROLL")
     if v is not None:
@@ -86,16 +105,19 @@ def _loop_unroll():
         if n < 1:
             raise ValueError(f"PYDENS_TPU_LOOP_UNROLL={v!r} must be >= 1")
         return n
-    return 4 if jax.default_backend() == "tpu" else 1
+    if jax.default_backend() != "tpu" or big_body:
+        return 1
+    if work is not None and work > _UNROLL_MAX_WORK:
+        return 1
+    return 4
 
 
-def _unrolled_fori(lo, hi, body_fn, state):
+def _unrolled_fori(lo, hi, body_fn, state, k):
     """``fori_loop(lo, hi, body_fn, state)`` with the body unrolled
-    ``_loop_unroll()``-fold.  The trip count stays DYNAMIC (one compile
-    serves every ``niters``): full unroll-blocks run in a while loop,
-    the < unroll-size tail one-by-one.  Exactly the same body calls in
-    exactly the same order as the plain fori."""
-    k = _loop_unroll()
+    ``k``-fold (from ``_loop_unroll``).  The trip count stays DYNAMIC (one
+    compile serves every ``niters``): full unroll-blocks run in a while
+    loop, the < unroll-size tail one-by-one.  Exactly the same body calls
+    in exactly the same order as the plain fori."""
     if k == 1:
         return jax.lax.fori_loop(lo, hi, body_fn, state)
     lo = jnp.asarray(lo, jnp.int32)
@@ -903,6 +925,16 @@ class Solver:
         exactly once.
         """
         import os
+        # Effective unroll for THIS config (tiny-step regime only; see
+        # _loop_unroll): work = collocation points per iteration x params
+        # x ensemble members; linesearch/Gauss-Newton bodies never unroll.
+        _sep = getattr(self.model, "separable", False)
+        _pts = (int(cfg["batch_size"]) ** self.model.total if _sep
+                else int(cfg["batch_size"]))
+        unroll = _loop_unroll(
+            work=_pts * int(self._flatten_spec()[2][-1]) * self.n_models,
+            big_body=bool(cfg["needs_value_fn"])
+            or isinstance(cfg["opt"], LMConfig))
         key = (cfg["batch_size"], cfg["chunk"], cfg["loss_terms"],
                cfg["criterion_key"], id(cfg["opt"]), cfg["mask_key"],
                cfg["sampler_key"], cfg["resample"], cfg["adaptive"],
@@ -916,10 +948,10 @@ class Solver:
                # or toggles on non-plan fits don't force spurious recompiles.
                cfg["use_plan"] and
                os.environ.get("PYDENS_TPU_FUSED_TAYLOR") == "always",
-               # Trace-time loop-unroll factor (env/backend-dependent):
-               # keyed so changing it between fits recompiles instead of
-               # silently reusing the other factor's executable.
-               _loop_unroll(),
+               # Trace-time loop-unroll factor (env/backend/regime-
+               # dependent): keyed so changing it between fits recompiles
+               # instead of silently reusing the other factor's executable.
+               unroll,
                id(self.mesh) if self.mesh is not None else None)
         if key in self._step_cache:
             return self._step_cache[key]
@@ -1409,7 +1441,7 @@ class Solver:
             if not stop_on_nan:
                 out_carry, losses = _unrolled_fori(
                     jnp.int32(0), jnp.int32(n),
-                    lambda i, s: body(i, s)[0], (carry, losses))
+                    lambda i, s: body(i, s)[0], (carry, losses), unroll)
                 return out_carry, losses, jnp.int32(n)
 
             # Divergence/convergence guard, device-side and AMORTIZED.  A
@@ -1447,7 +1479,7 @@ class Solver:
                 snap = s[0]
                 m = jnp.minimum(jnp.int32(GUARD_BLOCK), stop_at - i)
                 s_new = _unrolled_fori(
-                    i, i + m, lambda idx, s2: body(idx, s2)[0], s)
+                    i, i + m, lambda idx, s2: body(idx, s2)[0], s, unroll)
                 # Block verdict from the loss buffer, one vectorized check
                 # per block — tracking it in the inner carry instead costs
                 # a vector->scalar sync every iteration.  dynamic_slice
@@ -2080,6 +2112,11 @@ class Solver:
             learned balancing weights) without mutating the solver."""
             nonlocal ckpt_iters_saved
             ckpt_iters_saved = iters_run
+            if self._mesh_mp and jax.process_index() != 0:
+                # One writer per multi-process mesh: the state is replicated
+                # (every process holds identical copies), and concurrent
+                # same-path writes would race on the atomic-rename tmp file.
+                return
             from .utils.checkpoint import save_solver
             save_solver(
                 self, checkpoint_path,
