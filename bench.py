@@ -25,6 +25,42 @@ NITERS = 1500
 BATCH = 100
 TORCH_PROBE_ITERS = 300
 
+# Cumulative XLA compile seconds (trace + MLIR lowering + backend compile),
+# via jax.monitoring — lets every sub-bench attribute its wall to compile vs
+# run, so an e2e regression is diagnosable from the JSON line alone (the r04
+# Burgers 4x wall regression was pure compile inflation and the record
+# couldn't show it).
+_COMPILE_SECONDS = {"total": 0.0}
+
+
+def _install_compile_listener():
+    try:
+        from jax._src import monitoring
+
+        events = ("/jax/core/compile/jaxpr_trace_duration",
+                  "/jax/core/compile/jaxpr_to_mlir_module_duration",
+                  "/jax/core/compile/backend_compile_duration")
+
+        def cb(event, duration, **kw):
+            if event in events:
+                _COMPILE_SECONDS["total"] += duration
+
+        monitoring.register_event_duration_secs_listener(cb)
+    except Exception as err:
+        print(f"# compile-time listener unavailable: {err}", file=sys.stderr)
+
+
+def _compile_delta(t0):
+    return _COMPILE_SECONDS["total"] - t0
+
+
+def _spread(vals):
+    """[min, median, max] rounded — the self-interpreting noise record
+    (BENCH lines swing with tunnel latency; a single number isn't
+    attributable)."""
+    v = sorted(vals)
+    return [round(v[0], 4), round(v[len(v) // 2], 4), round(v[-1], 4)]
+
 
 def bench_pydens_tpu():
     import pydens_tpu as pdt
@@ -39,8 +75,10 @@ def bench_pydens_tpu():
     # Warm-up: compiles the one step executable for this config.  The whole
     # 1500-iteration run is a single device dispatch (chunk_size=niters) —
     # the loop's trip count is dynamic, so any niters reuses this compile.
+    c0 = _COMPILE_SECONDS["total"]
     solver.fit(batch_size=BATCH, niters=NITERS, progress=False,
                chunk_size=NITERS)
+    compile_s = _compile_delta(c0)
 
     # Timed: fresh parameters, warm compile cache — the production path.
     # Best-of-5: the chip sits behind a network tunnel here, and per-fit
@@ -56,17 +94,23 @@ def bench_pydens_tpu():
     final_loss = float(solver.losses[-1])
 
     # Sustained device-side throughput: one long dispatch amortizes the
-    # fixed per-fit latency.
+    # fixed per-fit latency.  3 reps, CHAINED (no reset between them, so
+    # each dispatch carries fresh parameter state — the tunnel memoizes
+    # identical dispatches, CLAUDE.md landmine); median reported, spread
+    # kept for the record.
     long_n = 30000
     solver.reset(seed=99)
     solver.fit(batch_size=BATCH, niters=long_n, progress=False,
                chunk_size=long_n)  # warm compile for this length cap
-    solver.reset(seed=100)
-    t0 = time.perf_counter()
-    solver.fit(batch_size=BATCH, niters=long_n, progress=False,
-               chunk_size=long_n)
-    sustained = long_n / (time.perf_counter() - t0)
-    return best, NITERS / best, final_loss, sustained
+    sustained_reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solver.fit(batch_size=BATCH, niters=long_n, progress=False,
+                   chunk_size=long_n)
+        sustained_reps.append(long_n / (time.perf_counter() - t0))
+    sustained = sorted(sustained_reps)[1]
+    return (best, NITERS / best, final_loss, sustained, times,
+            sustained_reps, compile_s)
 
 
 def bench_large_batch():
@@ -81,14 +125,21 @@ def bench_large_batch():
     def pde(f, x, y):
         return D(D(f, x), x) + D(D(f, y), y) - 5 * pdt.sin(np.pi * (x + y))
 
-    def timed_fit(solver, batch, iters):
+    def timed_fit(solver, batch, iters, reps=3):
+        """Median rate over ``reps`` CHAINED fits (no reset between timed
+        reps: every dispatch carries the previous rep's advanced parameter
+        state, so no two dispatches are identical — the tunnel memoizes
+        identical dispatches and a memoized rep reads absurdly fast; that
+        is exactly how BENCH_r04 shipped hbm_roofline_frac=4.977)."""
         solver.fit(niters=iters, batch_size=batch, progress=False,
                    chunk_size=iters)  # warm-up compile
-        solver.reset(seed=1)
-        t0 = time.perf_counter()
-        solver.fit(niters=iters, batch_size=batch, progress=False,
-                   chunk_size=iters)
-        return iters / (time.perf_counter() - t0)
+        rates = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            solver.fit(niters=iters, batch_size=batch, progress=False,
+                       chunk_size=iters)
+            rates.append(iters / (time.perf_counter() - t0))
+        return sorted(rates)[len(rates) // 2]
 
     # Throughput point: batch 65,536 is the points/s optimum of the scaling
     # sweep (BENCHMARKS.md table).
@@ -116,6 +167,15 @@ def bench_large_batch():
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         bytes_per_iter = float(cost["bytes accessed"])
         roofline_frac = bytes_per_iter * it_s / 819e9  # v5e HBM peak
+        if not 0.0 < roofline_frac <= 1.05:
+            # A fraction above the physical bound means the timing (or the
+            # cost model) is wrong — never ship a garbage value into the
+            # round record (BENCH_r04 shipped 4.977).
+            print(f"# roofline sanity check FAILED: frac={roofline_frac:.3f}"
+                  f" outside (0, 1.05] at {it_s:.1f} it/s,"
+                  f" {bytes_per_iter / 1e9:.2f} GB/iter — reporting null",
+                  file=sys.stderr)
+            roofline_frac = None
     except Exception as err:
         print(f"# roofline cost analysis unavailable: {err}",
               file=sys.stderr)
@@ -159,12 +219,14 @@ def bench_burgers():
     spec = importlib.util.spec_from_file_location("burgers_example", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    c0 = _COMPILE_SECONDS["total"]
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(sys.stderr):
         # stdout must stay ONE JSON line; the example's progress prints
         # go to stderr.
         solver = mod.main()  # asserts worst < 0.08, rel_l2 < 0.01
     wall = time.perf_counter() - t0
+    compile_s = _compile_delta(c0)
     xs = np.linspace(-1, 1, 401)
     preds, trues = [], []
     for t_eval in (0.25, 0.5, 1.0):
@@ -172,7 +234,7 @@ def bench_burgers():
         trues.append(mod.burgers_exact(xs, np.full_like(xs, t_eval)))
     rel_l2 = (np.linalg.norm(np.concatenate(preds) - np.concatenate(trues))
               / np.linalg.norm(np.concatenate(trues)))
-    return float(rel_l2), wall
+    return float(rel_l2), wall, compile_s
 
 
 def bench_convection():
@@ -310,6 +372,7 @@ def _arm_watchdog(budget_s):
 def main():
     watchdog = _arm_watchdog(
         float(os.environ.get("BENCH_WALL_BUDGET_S", 2400)))
+    _install_compile_listener()
     backend = "unknown"
     try:
         import jax
@@ -325,7 +388,8 @@ def main():
     last_err = None
     for attempt in range(4):
         try:
-            wall, rate, loss, sustained = bench_pydens_tpu()
+            (wall, rate, loss, sustained, wall_reps, sustained_reps,
+             core_compile_s) = bench_pydens_tpu()
             break
         except Exception as err:
             last_err = err
@@ -346,6 +410,7 @@ def main():
     # Scaling/quality extras (each individually non-fatal so one flaky
     # tunnel stall can't kill the whole bench line).
     large_pts = roofline = plan_ratio = burgers_l2 = burgers_wall = None
+    burgers_compile_s = None
     try:
         large_pts, roofline = bench_large_batch()
     except Exception as err:
@@ -356,7 +421,7 @@ def main():
         print(f"# plan-ratio bench failed: {err}", file=sys.stderr)
     if os.environ.get("BENCH_SKIP_BURGERS") != "1":
         try:
-            burgers_l2, burgers_wall = bench_burgers()
+            burgers_l2, burgers_wall, burgers_compile_s = bench_burgers()
         except Exception as err:
             print(f"# burgers bench failed: {err}", file=sys.stderr)
     convection_l2 = None
@@ -388,6 +453,13 @@ def main():
         "unit": "iters/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "wall_clock_s": round(wall, 4),
+        # Noise discipline: [min, median, max] over the reps behind the two
+        # headline figures (tunnel latency swings single numbers +-30%).
+        "wall_spread_s": _spread(wall_reps),
+        "sustained_spread": [round(r, 1) for r in sorted(sustained_reps)],
+        # XLA compile seconds behind the core workload's warm-up fit —
+        # separates compile regressions from run-time regressions.
+        "core_compile_s": round(core_compile_s, 1),
         "final_loss": round(loss, 6),
         "sustained_iters_per_sec": round(sustained, 1),
         # Scaling story (BENCHMARKS.md tables): large-batch throughput on
@@ -402,6 +474,10 @@ def main():
                            if burgers_l2 is not None else None),
         "burgers_wall_s": (round(burgers_wall, 1)
                            if burgers_wall is not None else None),
+        # Of which XLA compile (the example compiles several distinct
+        # configs; r04's 4x wall regression was pure compile inflation).
+        "burgers_compile_s": (round(burgers_compile_s, 1)
+                              if burgers_compile_s is not None else None),
         # Spectral-bias toolkit (RFF + gated modified MLP + causal) on
         # periodic convection c=10, 40k iters — examples/20's recipe.
         "convection_c10_rel_l2": (round(convection_l2, 5)
