@@ -21,7 +21,7 @@ import sys, json
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
-pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
 from pydens_tpu.parallel import distributed
 distributed.initialize(coordinator_address=f"localhost:{port}",
                        num_processes=2, process_id=pid)
@@ -53,10 +53,50 @@ assert pred.shape == (33, 1) and np.isfinite(pred).all()
 flat = np.concatenate([np.ravel(l) for l in
                        jax.tree.leaves(distributed.fetch(solver.params))])
 assert np.isfinite(flat).all()
-if pid == 0:
-    with open(out, "w") as fh:
-        json.dump({"dev": dev_losses, "host": host_losses,
-                   "pred": np.asarray(pred).ravel().tolist()}, fh)
+
+# (a) until_loss: the convergence guard's device-side early stop (sharded
+# snapshot/replay carry) must pick the SAME iteration on every process —
+# each worker records its stop; the parent cross-checks p0 == p1 == its own
+# single-process run.
+s_until = Solver(ode, ndims=1, initial_condition=.5, mesh=mesh, seed=0,
+                 activation="Tanh", layout="fafaf", features=[12, 10, 1])
+s_until.fit(niters=2000, batch_size=64, lr=0.02, chunk_size=2000,
+            until_loss=1e-3, progress=False)
+assert 0 < len(s_until.losses) < 2000, len(s_until.losses)
+until = {"n": len(s_until.losses),
+         "converged_at": int(s_until.history[-1]["converged_at"]),
+         "last": float(s_until.losses[-1])}
+
+# (b) auto-checkpoint under the multi-process mesh: only process 0 writes
+# (one writer; the state is replicated), every process restores from the
+# shared file, and the restored continuation equals the saving solver's
+# own continuation (the checkpoint contract, test_round2_fixes.py).
+import os
+from jax.experimental import multihost_utils
+ckpt = f"{outdir}/ckpt.p{pid}"
+s_ck = Solver(ode, ndims=1, initial_condition=.5, mesh=mesh, seed=7,
+              activation="Tanh", layout="fafaf", features=[12, 10, 1])
+s_ck.fit(niters=20, batch_size=64, lr=0.02, chunk_size=10,
+         checkpoint_path=ckpt, progress=False)
+multihost_utils.sync_global_devices("ckpt_written")
+assert os.path.exists(f"{outdir}/ckpt.p0")
+assert not os.path.exists(f"{outdir}/ckpt.p1"), \
+    "process 1 wrote a checkpoint — the one-writer gate is broken"
+s_ck.fit(niters=10, batch_size=64, lr=0.02, chunk_size=10,
+         optimizer=None, progress=False)
+s_re = Solver(ode, ndims=1, initial_condition=.5, mesh=mesh, seed=13,
+              activation="Tanh", layout="fafaf", features=[12, 10, 1])
+s_re.load(f"{outdir}/ckpt.p0")
+assert len(s_re.losses) == 20
+s_re.fit(niters=10, batch_size=64, lr=0.02, chunk_size=10, progress=False)
+np.testing.assert_allclose(s_re.losses[20:], s_ck.losses[20:],
+                           rtol=1e-5, atol=1e-7)
+
+with open(f"{outdir}/p{pid}.json", "w") as fh:
+    json.dump({"dev": dev_losses, "host": host_losses,
+               "pred": np.asarray(pred).ravel().tolist(),
+               "until": until,
+               "resumed": [float(l) for l in s_re.losses[20:]]}, fh)
 print("WORKER_OK", pid, flush=True)
 """
 
@@ -69,7 +109,6 @@ def _ode(f, x):
 def test_two_process_fit_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
-    out = tmp_path / "p0.json"
     port = random.randint(20000, 40000)
 
     env = dict(os.environ)
@@ -80,13 +119,13 @@ def test_two_process_fit_matches_single_process(tmp_path):
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
 
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), str(port), str(out)],
+        [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=420)
+            stdout, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -96,7 +135,26 @@ def test_two_process_fit_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
         assert "WORKER_OK" in log
 
-    dist = json.loads(out.read_text())
+    dist = json.loads((tmp_path / "p0.json").read_text())
+    dist1 = json.loads((tmp_path / "p1.json").read_text())
+
+    # until_loss stop + restored continuation agree ACROSS processes.
+    assert dist["until"] == dist1["until"]
+    np.testing.assert_allclose(dist["resumed"], dist1["resumed"],
+                               rtol=1e-6, atol=0)
+
+    # ... and with the single-process mesh run (same seed/config => same
+    # trajectory => same device-side stop iteration).
+    s_until = Solver(_ode, ndims=1, initial_condition=.5, mesh=make_mesh(),
+                     seed=0, activation="Tanh", layout="fafaf",
+                     features=[12, 10, 1])
+    s_until.fit(niters=2000, batch_size=64, lr=0.02, chunk_size=2000,
+                until_loss=1e-3, progress=False)
+    assert len(s_until.losses) == dist["until"]["n"]
+    assert (s_until.history[-1]["converged_at"]
+            == dist["until"]["converged_at"])
+    np.testing.assert_allclose(float(s_until.losses[-1]),
+                               dist["until"]["last"], rtol=1e-4)
 
     # Single-process reference: same config/seed on the local 8-device mesh.
     solver = Solver(_ode, ndims=1, initial_condition=.5, mesh=make_mesh(),
