@@ -26,11 +26,16 @@ parameter gradients) in tests/test_pallas_taylor.py (interpret mode on
 CPU, the real Mosaic lowering on TPU).
 
 Measured verdict (v5e, BENCHMARKS.md "Fused Pallas Taylor
-forward+backward kernel"): the
-kernel is correct but 0.55-0.84x the best XLA path at 64k-1M batches —
-Mosaic codegen for tiny-K (<=64) matmul chains eats the bandwidth savings.
-It therefore stays opt-in (``PYDENS_TPU_FUSED_TAYLOR=always``); the XLA
-paths are the default.
+forward+backward kernel" and "... retired"): the kernel is correct but
+0.55-0.84x the best XLA path at 64k-1M batches — Mosaic codegen for
+tiny-K (<=64) matmul chains eats the bandwidth savings.  The round-5
+fix attempt (row-stacking the streams so each dense is ONE
+(n_streams*tile, K) matmul and the weight gradient contracts over
+n_streams*tile — ``PYDENS_TPU_TAYLOR_STACKED=1``) is differential-
+correct but hangs the Mosaic compile at width 64; the kernel is RETIRED
+from the performance roadmap and stays opt-in
+(``PYDENS_TPU_FUSED_TAYLOR=always``) for study only.  The XLA paths are
+the default; the large-batch frontier is their measured HBM bound.
 """
 
 from __future__ import annotations
@@ -50,6 +55,20 @@ _MAX_STACKED_ROWS = 8192  # tile * n_streams cap (see _tile_for)
 # x 4 layers that is ~21 MB of scoped stack, above the 16 MB default limit.
 # v5e has 128 MiB of VMEM per core; grant the kernel most of it.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _stacked_enabled():
+    """Row-stacked stream traversal (one wide matmul per dense layer instead
+    of one tiny-K matmul per stream) — the round-5 targeted attempt at the
+    measured Mosaic tiny-K chain inefficiency.  Differential-correct
+    (tests/test_pallas_taylor.py runs both modes) and compiles+runs on TPU
+    at width 16, but the Mosaic remote compile HANGS (>9 min, no error) at
+    width 64 for any tile in {512, 1024} (v5e tunnel, 08/2026) — exactly
+    the widths where the kernel could matter.  Default OFF; set
+    ``PYDENS_TPU_TAYLOR_STACKED=1`` to study it.  Closure recorded in
+    BENCHMARKS.md "Fused Pallas Taylor kernel: retired"."""
+    import os
+    return os.environ.get("PYDENS_TPU_TAYLOR_STACKED", "0") == "1"
 
 
 def _tile_for(n_streams):
@@ -123,44 +142,97 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
     d_pos = {d: i for i, d in enumerate(firsts)}
     max_sigma = 2 if pairs else 1  # backward needs one more (see below)
 
+    def _dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def _split_stk(ST, rows):
+        """Stacked (n_streams*rows, w) -> ([V], T list, S list) by static
+        row slices (slicing is always safe; it is dim-0 *concatenate* of
+        narrow blocks that crashes Mosaic)."""
+        V = ST[0:rows]
+        T = [ST[(1 + i) * rows:(2 + i) * rows] for i in range(len(firsts))]
+        S = [ST[(1 + len(firsts) + j) * rows:(2 + len(firsts) + j) * rows]
+             for j in range(len(pairs))]
+        return V, T, S
+
+    def _act_streams(act, V, T, S):
+        """One activation step on separate streams; returns new (V, T, S)."""
+        sd = _sigma_derivs(act, V, max_sigma)
+        if pairs:
+            S = [sd[2] * T[d_pos[a]] * T[d_pos[b]] + sd[1] * S[j]
+                 for j, (a, b) in enumerate(pairs)]
+        T = [sd[1] * t for t in T]
+        return sd[0], T, S
+
     def _forward_states(x, ws, bs):
         """Trace the traversal; returns the final streams plus the saved
-        per-layer states the adjoint needs.  ``streams`` is a list
-        [V, T..., S...] of (tile, width) values."""
+        per-layer states the adjoint needs.
+
+        Between wide layers the ``n_streams`` tap streams run STACKED along
+        the row (sublane) dimension — each dense is then ONE
+        (n_streams*tile, K) @ (K, N) matmul instead of n_streams tiny ones,
+        which amortizes Mosaic's fixed per-matmul cost (the measured reason
+        the r04 kernel lost to XLA: tiny-K matmul chains).  The stacked
+        region is gated per boundary to widths >= 8 lanes because Mosaic's
+        dim-0 tpu.concatenate miscompiles/crashes on narrower vectors
+        (measured on the v5e tunnel, 08/2026); the first dense (K = in_dim,
+        narrow) and the last dense's output (out_dim, narrow) run on
+        separate streams, which is also where per-stream work is cheapest.
+        ``PYDENS_TPU_TAYLOR_STACKED=0`` forces separate streams throughout.
+        """
         rows = x.shape[0]
         V = x
         # One-hot tangent columns via iota-compare (Mosaic has no scatter).
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, in_dim), 1)
         T = [(col == d).astype(x.dtype) for d in firsts]
         S = [jnp.zeros((rows, in_dim), x.dtype) for _ in pairs]
-        saved = []  # one entry per token: ('f', in_streams) | ('a', pre_V_T)
+        ST = None  # stacked state when mode == 'stk'
+        mode = "sep"
+        saved = []  # per token: (tok, mode, payload)
         di, ai = 0, 0
+        n_dense = len(layer_names)
         for tok in tokens:
             if tok in ("f", "c"):
-                # Streams stay separate: inside the kernel there is no
-                # launch cost for a stacked matmul to amortize, and Mosaic's
-                # sublane-dim tpu.concatenate miscompiles/crashes on narrow
-                # (lanes < 8) vectors (measured on the v5e tunnel, 08/2026).
-                streams = [V] + T + S
-                saved.append(("f", streams))
-                outs = [jnp.dot(s, ws[di],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                        for s in streams]
-                V = outs[0] + bs[di]
-                T = outs[1:1 + len(firsts)]
-                S = outs[1 + len(firsts):]
+                out_w = ws[di].shape[1]
+                stackable = (_stacked_enabled() and n_streams > 1
+                             and di < n_dense - 1 and out_w >= 8)
+                if mode == "sep":
+                    streams = [V] + T + S
+                    saved.append(("f", "sep", streams))
+                    outs = [_dot(s, ws[di]) for s in streams]
+                    V = outs[0] + bs[di]
+                    T = outs[1:1 + len(firsts)]
+                    S = outs[1 + len(firsts):]
+                    if stackable:
+                        ST = jnp.concatenate([V] + T + S, axis=0)
+                        mode = "stk"
+                else:
+                    saved.append(("f", "stk", ST))
+                    out = _dot(ST, ws[di])
+                    # The bias lands on the V block only (rows < tile).
+                    row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+                    out = out + jnp.where(row < rows, 1.0, 0.0
+                                          ).astype(out.dtype) * bs[di]
+                    if stackable:
+                        ST = out
+                    else:
+                        V, T, S = _split_stk(out, rows)
+                        mode = "sep"
                 di += 1
             else:  # 'a'
                 act = acts[ai]
-                saved.append(("a", (V, list(T), list(S))))
-                sd = _sigma_derivs(act, V, max_sigma)
-                if pairs:
-                    S = [sd[2] * T[d_pos[a]] * T[d_pos[b]] + sd[1] * S[j]
-                         for j, (a, b) in enumerate(pairs)]
-                T = [sd[1] * t for t in T]
-                V = sd[0]
+                if mode == "sep":
+                    saved.append(("a", "sep", (V, list(T), list(S))))
+                    V, T, S = _act_streams(act, V, T, S)
+                else:
+                    Vb, Tb, Sb = _split_stk(ST, rows)
+                    saved.append(("a", "stk", (Vb, Tb, Sb)))
+                    nV, nT, nS = _act_streams(act, Vb, Tb, Sb)
+                    ST = jnp.concatenate([nV] + nT + nS, axis=0)
                 ai += 1
+        if mode == "stk":  # layout ends on a stacked token
+            V, T, S = _split_stk(ST, rows)
         return V, T, S, saved
 
     def fwd_kernel(x_ref, *refs):
@@ -191,54 +263,98 @@ def make_fused_taylor(tokens, acts, layer_names, in_dim, closure,
                  (2 + len(firsts) + j) * out_dim]
               for j in range(len(pairs))]
 
+        def _act_adjoint(act, V0, T0, S0, gV, gT, gS):
+            # sigma', sigma'', sigma''' at the pre-activation value:
+            # the adjoint of S = sigma''*T_a*T_b + sigma'*S reads one
+            # derivative order deeper than the forward.
+            sd = _sigma_derivs(act, V0, max_sigma + 1)
+            d1, d2 = sd[1], sd[2] if len(sd) > 2 else None
+            d3 = sd[3] if len(sd) > 3 else None
+            nV = gV * d1
+            nT = [gt * d1 for gt in gT]
+            nS = [gs * d1 for gs in gS]
+            for i in range(len(firsts)):
+                nV = nV + gT[i] * d2 * T0[i]
+            for j, (a, b) in enumerate(pairs):
+                ia, ib = d_pos[a], d_pos[b]
+                nV = nV + gS[j] * (d3 * T0[ia] * T0[ib] + d2 * S0[j])
+                nT[ia] = nT[ia] + gS[j] * d2 * T0[ib]
+                nT[ib] = nT[ib] + gS[j] * d2 * T0[ia]
+            return nV, nT, nS
+
+        rows = x_ref.shape[0]
         first_step = pl.program_id(0) == 0
         wgrads = [None] * n_dense
         bgrads = [None] * n_dense
+        G = None  # stacked cotangent when g_mode == 'stk'
+        g_mode = "sep"
         di = n_dense
         ai = sum(1 for t in tokens if t == "a")
-        for tok, save in zip(reversed(tokens), reversed(saved)):
+        for save in reversed(saved):
+            tok, fmode, payload = save
             if tok in ("f", "c"):
                 di -= 1
-                _, in_streams = save
-                # Per-stream dots (see _forward_states on why no dim-0
-                # concat): the weight gradient sums over streams AND batch.
-                g_streams = [gV] + gT + gS
-                wg = None
-                for s_in, s_g in zip(in_streams, g_streams):
-                    term = jnp.dot(s_in.T, s_g,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-                    wg = term if wg is None else wg + term
-                wgrads[di] = wg
-                bgrads[di] = jnp.sum(gV, axis=0, keepdims=True)
-                backs = [jnp.dot(s_g, ws[di].T,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                         for s_g in g_streams]
-                gV = backs[0]
-                gT = backs[1:1 + len(firsts)]
-                gS = backs[1 + len(firsts):]
+                if fmode == "sep":
+                    if g_mode == "stk":
+                        # Forward stacked right after this layer; its own
+                        # inputs are separate — split the cotangent back.
+                        gV, gT, gS = _split_stk(G, rows)
+                        g_mode = "sep"
+                    in_streams = payload
+                    # Per-stream dots: K = this layer's input width, too
+                    # narrow to stack (see _forward_states); the weight
+                    # gradient sums over streams AND batch.
+                    g_streams = [gV] + gT + gS
+                    wg = None
+                    for s_in, s_g in zip(in_streams, g_streams):
+                        term = _dot(s_in.T, s_g)
+                        wg = term if wg is None else wg + term
+                    wgrads[di] = wg
+                    bgrads[di] = jnp.sum(gV, axis=0, keepdims=True)
+                    backs = [_dot(s_g, ws[di].T) for s_g in g_streams]
+                    gV = backs[0]
+                    gT = backs[1:1 + len(firsts)]
+                    gS = backs[1 + len(firsts):]
+                else:  # inputs were stacked
+                    ST_in = payload
+                    if g_mode == "sep":
+                        # Output side is separate (the last dense / a
+                        # narrow output): per-stream wg from slices of the
+                        # stacked input, then stack the wide cotangents.
+                        g_streams = [gV] + gT + gS
+                        wg = None
+                        for s_idx, s_g in enumerate(g_streams):
+                            s_in = ST_in[s_idx * rows:(s_idx + 1) * rows]
+                            term = _dot(s_in.T, s_g)
+                            wg = term if wg is None else wg + term
+                        wgrads[di] = wg
+                        bgrads[di] = jnp.sum(gV, axis=0, keepdims=True)
+                        G = jnp.concatenate(
+                            [_dot(s_g, ws[di].T) for s_g in g_streams],
+                            axis=0)
+                        g_mode = "stk"
+                    else:
+                        # Fully stacked: ONE weight-gradient matmul whose
+                        # contraction dim is n_streams*tile (the big-K win)
+                        # and one back-propagating matmul.
+                        wgrads[di] = _dot(ST_in.T, G)
+                        bgrads[di] = jnp.sum(G[0:rows], axis=0,
+                                             keepdims=True)
+                        G = _dot(G, ws[di].T)
             else:  # 'a'
                 ai -= 1
                 act = acts[ai]
-                _, (V0, T0, S0) = save
-                # sigma', sigma'', sigma''' at the pre-activation value:
-                # the adjoint of S = sigma''*T_a*T_b + sigma'*S reads one
-                # derivative order deeper than the forward.
-                sd = _sigma_derivs(act, V0, max_sigma + 1)
-                d1, d2 = sd[1], sd[2] if len(sd) > 2 else None
-                d3 = sd[3] if len(sd) > 3 else None
-                nV = gV * d1
-                nT = [gt * d1 for gt in gT]
-                nS = [gs * d1 for gs in gS]
-                for i in range(len(firsts)):
-                    nV = nV + gT[i] * d2 * T0[i]
-                for j, (a, b) in enumerate(pairs):
-                    ia, ib = d_pos[a], d_pos[b]
-                    nV = nV + gS[j] * (d3 * T0[ia] * T0[ib] + d2 * S0[j])
-                    nT[ia] = nT[ia] + gS[j] * d2 * T0[ib]
-                    nT[ib] = nT[ib] + gS[j] * d2 * T0[ia]
-                gV, gT, gS = nV, nT, nS
+                V0, T0, S0 = payload  # saved as separate blocks either mode
+                if g_mode == "stk":
+                    gVb, gTb, gSb = _split_stk(G, rows)
+                    nV, nT, nS = _act_adjoint(act, V0, T0, S0,
+                                              gVb, gTb, gSb)
+                    G = jnp.concatenate([nV] + nT + nS, axis=0)
+                else:
+                    # Cotangents still separate (e.g. a trailing activation
+                    # whose forward state was split at the walk's end).
+                    gV, gT, gS = _act_adjoint(act, V0, T0, S0, gV, gT, gS)
+        assert g_mode == "sep", "backward walk must end on separate streams"
         xg_ref[...] = gV  # input V-stream adjoint = d loss / d x
 
         for i in range(n_dense):

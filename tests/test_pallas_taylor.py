@@ -34,7 +34,13 @@ def _loss_and_grad(solver, use_fused, monkeypatch, pts):
     return jax.value_and_grad(loss_fn)(solver.model.params, leaves)
 
 
-def test_fused_taps_match_xla_plan(monkeypatch):
+@pytest.mark.parametrize("stacked", ["0", "1"])
+def test_fused_taps_match_xla_plan(monkeypatch, stacked):
+    # stacked="1" covers the retired row-stacked traversal (one matmul per
+    # dense over n_streams*tile rows) — differential-correct, kept opt-in
+    # because the Mosaic compile hangs at width >= 64 (BENCHMARKS.md
+    # "Fused Pallas Taylor kernel: retired").
+    monkeypatch.setenv("PYDENS_TPU_TAYLOR_STACKED", stacked)
     solver = _poisson_solver()
     pts = jax.random.uniform(jax.random.key(7), (96, 2)) * 0.8 + 0.1
     l_x, g_x = _loss_and_grad(solver, False, monkeypatch, pts)
