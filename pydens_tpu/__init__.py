@@ -28,7 +28,7 @@ from .parallel import make_mesh
 from .utils.grids import cart_prod, uniform_grid
 from .utils.export import load_exported
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Solver", "D", "V", "Field", "Expr", "lift",
