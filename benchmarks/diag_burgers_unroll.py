@@ -11,21 +11,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COMPILE = {"total": 0.0}
-
-
-def install_listener():
-    from jax._src import monitoring
-
-    events = ("/jax/core/compile/jaxpr_trace_duration",
-              "/jax/core/compile/jaxpr_to_mlir_module_duration",
-              "/jax/core/compile/backend_compile_duration")
-
-    def cb(event, duration, **kw):
-        if event in events:
-            COMPILE["total"] += duration
-
-    monitoring.register_event_duration_secs_listener(cb)
+# One source of truth for the jax.monitoring event list/accumulator —
+# bench.py owns it (a renamed /jax/core/compile/* event gets fixed once).
+from bench import _COMPILE_SECONDS as COMPILE  # noqa: E402
+from bench import _install_compile_listener as install_listener  # noqa: E402
 
 
 def main():

@@ -10,6 +10,22 @@ model classes, plus the sampler suite — and adds the TPU-era pieces: symbolic
 math wrappers, device meshes for data-parallel training, and checkpointing.
 """
 
+import os as _os
+
+# Opt-in persistent XLA compilation cache, wired at the package boundary so
+# production entrypoints get it without test-harness plumbing (the test
+# conftest sets the same config for suite runs).  Deliberately opt-in: on
+# jax 0.9's CPU backend the AOT loader logs machine-feature-mismatch
+# errors on cache hits (see BENCHMARKS.md "Suite compile time / persistent
+# compilation cache"); measure on your backend before enabling in anger.
+if _os.environ.get("PYDENS_TPU_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["PYDENS_TPU_COMPILE_CACHE"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 from .ops.tokens import D, V, Expr, lift
 from .ops.fields import Field
 from .ops.functional import grad, div, laplace, hessian_diag, dt, dn

@@ -927,10 +927,14 @@ class Solver:
         import os
         # Effective unroll for THIS config (tiny-step regime only; see
         # _loop_unroll): work = collocation points per iteration x params
-        # x ensemble members; linesearch/Gauss-Newton bodies never unroll.
+        # x ensemble members; adaptive refinement evaluates residuals on
+        # r x batch CANDIDATE points per iteration, so the multiplier
+        # enters the estimate too; linesearch/Gauss-Newton bodies never
+        # unroll.
         _sep = getattr(self.model, "separable", False)
         _pts = (int(cfg["batch_size"]) ** self.model.total if _sep
                 else int(cfg["batch_size"]))
+        _pts *= int(cfg["adaptive"] or 1)
         unroll = _loop_unroll(
             work=_pts * int(self._flatten_spec()[2][-1]) * self.n_models,
             big_body=bool(cfg["needs_value_fn"])
@@ -948,6 +952,14 @@ class Solver:
                # or toggles on non-plan fits don't force spurious recompiles.
                cfg["use_plan"] and
                os.environ.get("PYDENS_TPU_FUSED_TAYLOR") == "always",
+               # ... and the kernel's stacked/per-stream layout knob, read
+               # at trace time inside it (ops/pallas_taylor.py) — keyed so
+               # an A/B toggle between fits re-traces instead of silently
+               # reusing the other layout's executable.
+               (os.environ.get("PYDENS_TPU_TAYLOR_STACKED")
+                if cfg["use_plan"] and
+                os.environ.get("PYDENS_TPU_FUSED_TAYLOR") == "always"
+                else None),
                # Trace-time loop-unroll factor (env/backend/regime-
                # dependent): keyed so changing it between fits recompiles
                # instead of silently reusing the other factor's executable.
