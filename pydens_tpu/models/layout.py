@@ -87,6 +87,15 @@ ACTIVATIONS = {
 
 _PARTITIONS_CACHE = {}
 
+# Modified-MLP depth at which the equal-shape gate layers roll into one
+# lax.scan body instead of unrolling: scan keeps the compiled program O(1)
+# in depth (the gate body appears in the residual, its gradient and any
+# linesearch), cutting XLA compile time on deep nets; under this many
+# stacked layers the loop plumbing isn't worth it.  Module-level so tests
+# and benchmarks can monkeypatch both paths; not env-read at trace time,
+# so it never needs to join a step-cache key.
+_SCAN_MIN_LAYERS = 3
+
 
 def _set_partitions(m):
     """All set partitions of positions ``0..m-1`` (cached): list of
@@ -203,20 +212,43 @@ def _validate_closure(closure):
                     "from Model.plan_closure")
 
 
+_ELEMENTWISE_CACHE = {}
+
+
 def _is_elementwise(act):
     """Whether an activation has a diagonal Jacobian (acts elementwise) —
     checked numerically once at build time: for elementwise f,
-    ``J·u == (J·1) * u`` for any tangent u."""
+    ``J·u == (J·1) * u`` for any tangent u.
+
+    The shape gate runs under ``jax.eval_shape`` and the numeric check is
+    ONE jitted dispatch — probing op-by-op eagerly costs a device
+    round-trip per op, which dominates model-build time behind the TPU
+    tunnel (measured round 5).  The verdict is cached per activation
+    object (string specs resolve to shared callables), so repeat builds
+    pay nothing."""
     try:
-        x = jnp.asarray(np.linspace(-1.2, 1.1, 6).reshape(2, 3), jnp.float32)
-        u = jnp.asarray(np.linspace(0.3, 2.1, 6).reshape(2, 3), jnp.float32)
-        y, ju = jax.jvp(act, (x,), (u,))
-        _, j1 = jax.jvp(act, (x,), (jnp.ones_like(x),))
-        if y.shape != x.shape:
-            return False
-        return bool(jnp.allclose(ju, j1 * u, rtol=1e-4, atol=1e-5))
+        if act in _ELEMENTWISE_CACHE:
+            return _ELEMENTWISE_CACHE[act]
+    except TypeError:  # unhashable callable — probe every build
+        pass
+    x = np.linspace(-1.2, 1.1, 6).reshape(2, 3).astype(np.float32)
+    u = np.linspace(0.3, 2.1, 6).reshape(2, 3).astype(np.float32)
+
+    def _probe(x_, u_):
+        _, ju = jax.jvp(act, (x_,), (u_,))
+        _, j1 = jax.jvp(act, (x_,), (jnp.ones_like(x_),))
+        return jnp.all(jnp.isclose(ju, j1 * u_, rtol=1e-4, atol=1e-5))
+
+    try:
+        y_abs = jax.eval_shape(act, jax.ShapeDtypeStruct(x.shape, x.dtype))
+        verdict = (y_abs.shape == x.shape) and bool(jax.jit(_probe)(x, u))
     except Exception:
-        return False
+        verdict = False
+    try:
+        _ELEMENTWISE_CACHE[act] = verdict
+    except TypeError:
+        pass
+    return verdict
 
 
 def resolve_activation(act):
@@ -758,13 +790,40 @@ def make_modified_mlp_network(features, activation, in_dim,
         return jnp.dot(h, layer["w"],
                        precision=jax.lax.Precision.HIGHEST) + layer["b"]
 
+    def _stacked_gates(params):
+        """Gates 2..L share (width, width) shapes — one stacked pytree for
+        ``lax.scan``.  The stack is traced inside the step, so XLA sees a
+        small concat (KBs), not a host transfer."""
+        return {
+            "w": jnp.stack([params[f"fc{i + 1}"]["w"]
+                            for i in range(1, n_gates)]),
+            "b": jnp.stack([params[f"fc{i + 1}"]["b"]
+                            for i in range(1, n_gates)]),
+        }
+
+    def _use_scan():
+        # Depth-proportional HLO makes deep gated nets compile-bound (the
+        # body appears in the value fn, the Taylor taps AND their
+        # transpose); rolling the equal-shape gates into lax.scan keeps the
+        # compiled program O(1) in depth.  Shallow nets keep the unrolled
+        # form (scan's loop plumbing isn't worth it under
+        # _SCAN_MIN_LAYERS stacked layers).
+        return n_gates - 1 >= _SCAN_MIN_LAYERS
+
     def apply(params, x):
         U = act(_dense(params["fcu"], x))
         W = act(_dense(params["fcw"], x))
-        h = x
-        for i in range(n_gates):
-            z = act(_dense(params[f"fc{i + 1}"], h))
-            h = U + z * (W - U)  # == (1 - z)·U + z·W
+        z = act(_dense(params["fc1"], x))
+        h = U + z * (W - U)  # == (1 - z)·U + z·W
+        if _use_scan():
+            def body(h_, layer):
+                z_ = act(_dense(layer, h_))
+                return U + z_ * (W - U), None
+            h, _ = jax.lax.scan(body, h, _stacked_gates(params))
+        else:
+            for i in range(1, n_gates):
+                z = act(_dense(params[f"fc{i + 1}"], h))
+                h = U + z * (W - U)
         return _dense(params[f"fc{n_gates + 1}"], h)
 
     def taylor_taps(params, x, closure, init=None):
@@ -791,11 +850,36 @@ def make_modified_mlp_network(features, activation, in_dim,
         stW = through("fcw", (V, taps))
         diff = (stW[0] - stU[0],
                 {mi: stW[1][mi] - stU[1][mi] for mi in closure})
-        h = (V, taps)
-        for i in range(n_gates):
-            z = through(f"fc{i + 1}", h)
-            pv, pt = _product_taps(z[0], z[1], diff[0], diff[1], closure)
-            h = (stU[0] + pv, {mi: stU[1][mi] + pt[mi] for mi in closure})
+
+        def gate(layer, state):
+            """One gate step: z = σ(dense(h)); h' = U + z·(W − U), value
+            and every tap (Leibniz product rule on z·(W − U))."""
+            zv, zt = _act_taps(act, *_dense_taps(layer, *state, closure),
+                               closure, max_order)
+            pv, pt = _product_taps(zv, zt, diff[0], diff[1], closure)
+            return (stU[0] + pv,
+                    {mi: stU[1][mi] + pt[mi] for mi in closure})
+
+        h = gate(params["fc1"], (V, taps))
+        if _use_scan():
+            # Identical math, rolled: the carry is (value, taps in fixed
+            # key order); stU/stW/diff ride the closure as loop constants.
+            # Keeps the compiled Taylor traversal O(1) in depth — the
+            # unrolled form appears in the residual, its gradient and the
+            # L-BFGS linesearch, and dominates compile time on deep nets.
+            key_order = list(closure)
+
+            def body(carry, layer):
+                hv, ht = gate(layer, (carry[0],
+                                      dict(zip(key_order, carry[1]))))
+                return (hv, tuple(ht[mi] for mi in key_order)), None
+
+            carry0 = (h[0], tuple(h[1][mi] for mi in key_order))
+            (hv, ht), _ = jax.lax.scan(body, carry0, _stacked_gates(params))
+            h = (hv, dict(zip(key_order, ht)))
+        else:
+            for i in range(1, n_gates):
+                h = gate(params[f"fc{i + 1}"], h)
         return _dense_taps(params[f"fc{n_gates + 1}"], *h, closure)
 
     apply.tokens = None  # not a chain — Pallas fused kernels don't apply

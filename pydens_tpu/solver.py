@@ -324,15 +324,18 @@ class Solver:
         self._grad_jit = None
         self._grid_eval_jit = None
 
-        # Initialize network parameters, then discover V-token variables with
-        # a fake run of model + equation + constraints (superset of the
-        # reference, which only fake-runs the equation: model_torch.py:319-325
-        # — running constraints too means variables used only there are still
-        # trained).  The fake run happens under jax.eval_shape: it traces the
-        # whole residual abstractly (so every V call executes and registers
-        # its variable) without compiling or running a single op.
+        # Discover V-token variables with a fake run of model + equation +
+        # constraints (superset of the reference, which only fake-runs the
+        # equation: model_torch.py:319-325 — running constraints too means
+        # variables used only there are still trained).  The fake run happens
+        # under jax.eval_shape: it traces the whole residual abstractly (so
+        # every V call executes and registers its variable) without compiling
+        # or running a single op — including parameter INIT, which stays
+        # abstract here; the real init below is ONE jitted executable
+        # (per-layer eager init is a device round-trip per op, ~20 s of ctor
+        # wall behind the TPU tunnel, measured round 5).
         init_key, self._key = jax.random.split(self._key)
-        params = self.model.init_params(init_key)
+        params = jax.eval_shape(self.model.init_params, init_key)
         registry = {}
         total = self.model.total
         dtype = self.model.dtype
@@ -378,8 +381,9 @@ class Solver:
         self._plan_derivs = plan_info["derivs"]
         self._plan_ok = (plan_info["ok"] and bool(plan_info["derivs"])
                          and self.model.supports_taylor)
-        params["variables"] = {name: jnp.asarray(value, dtype)
-                               for name, value in registry.items()}
+        params["variables"] = {
+            name: jax.ShapeDtypeStruct(np.asarray(value).shape, dtype)
+            for name, value in registry.items()}
         self._initial_variables = dict(registry)
 
         if getattr(self.model, "separable", False):
@@ -447,8 +451,11 @@ class Solver:
             self._unflatten_jit = jax.jit(lambda th: _unflatten(spec, th))
         self._init_params_jit = jax.jit(make_params)
         init2_key, self._key = jax.random.split(self._key)
-        self.model.params = (self._init_params_jit(
-            init2_key, self._initial_variables) if K > 1 else params)
+        # Materialize the real parameters as ONE device dispatch (K == 1
+        # reuses the discovery key, so values match what the old eager init
+        # produced up to XLA fusion).
+        self.model.params = self._init_params_jit(
+            init2_key if K > 1 else init_key, self._initial_variables)
         self.model.ensemble_size = K
 
     # -- public state -------------------------------------------------------

@@ -137,3 +137,66 @@ def test_ode_converges_and_freeze():
     np.testing.assert_array_equal(
         np.asarray(solver.model.params["net"]["fcu"]["w"]), before)
     solver.model.unfreeze_trainable(layers=["fcu", "fcw"])
+
+
+def test_deep_net_scan_matches_unrolled(monkeypatch):
+    """Deep gated nets roll the equal-shape gate layers into lax.scan
+    (compile-time O(1) in depth); the rolled traversal must stay
+    numerically identical to the unrolled one — value, every Taylor tap,
+    and the nested-jvp ground truth."""
+    from pydens_tpu.models import layout as layout_mod
+
+    init, apply, _ = make_modified_mlp_network([10] * 6 + [1], "Tanh",
+                                               in_dim=2)
+    params = init(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (8, 2))
+    closure = [(0,), (1,), (0, 0), (1, 1), (0, 0, 0)]
+
+    results = {}
+    for label, min_layers in (("scan", 1), ("unrolled", 99)):
+        monkeypatch.setattr(layout_mod, "_SCAN_MIN_LAYERS", min_layers)
+        results[label] = (np.asarray(apply(params, x)),
+                          apply.taylor_taps(params, x, closure))
+    # default threshold (3) puts this 6-hidden-layer net on the scan path
+    monkeypatch.undo()
+    assert layout_mod._SCAN_MIN_LAYERS <= 5
+
+    np.testing.assert_allclose(results["scan"][0], results["unrolled"][0],
+                               rtol=1e-6, atol=1e-7)
+    v_s, taps_s = results["scan"][1]
+    v_u, taps_u = results["unrolled"][1]
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u),
+                               rtol=1e-6, atol=1e-7)
+    for mi in closure:
+        np.testing.assert_allclose(np.asarray(taps_s[mi]),
+                                   np.asarray(taps_u[mi]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(mi))
+
+    # ...and the scan-path taps against nested forward-mode ground truth
+    def e(a):
+        return jnp.zeros_like(x).at[:, a].set(1.0)
+
+    for mi in [(0,), (0, 0), (0, 0, 0)]:
+        fn = lambda z: apply(params, z)
+        for k in mi:
+            fn = (lambda f, kk: lambda z: jax.jvp(f, (z,), (e(kk),))[1])(
+                fn, k)
+        np.testing.assert_allclose(np.asarray(taps_s[mi]),
+                                   np.asarray(fn(x)),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(mi))
+
+
+def test_deep_net_solver_trains_on_scan_path():
+    """End-to-end: a 5-hidden-layer modified net (scan path by default)
+    trains through the compiled loop and converges on the tutorial ODE."""
+    def ode(f, x):
+        return D(f, x) - 2 * np.pi * pdt.cos(2 * np.pi * x)
+
+    solver = Solver(ode, ndims=1, seed=0, arch="modified",
+                    features=[12] * 5 + [1], activation="Tanh",
+                    initial_condition=0.5)
+    solver.fit(niters=500, batch_size=256, lr=0.01, progress=False)
+    xs = np.linspace(0, 1, 100)
+    err = np.max(np.abs(solver.predict(xs).ravel()
+                        - (np.sin(2 * np.pi * xs) + 0.5)))
+    assert err < 0.15, err
