@@ -92,8 +92,9 @@ _PARTITIONS_CACHE = {}
 # in depth (the gate body appears in the residual, its gradient and any
 # linesearch), cutting XLA compile time on deep nets; under this many
 # stacked layers the loop plumbing isn't worth it.  Module-level so tests
-# and benchmarks can monkeypatch both paths; not env-read at trace time,
-# so it never needs to join a step-cache key.
+# and benchmarks can monkeypatch both paths; sampled ONCE at network build
+# time (never at trace time), so a built network's arm is fixed and the
+# Solver step cache can't go stale when the knob is toggled between fits.
 _SCAN_MIN_LAYERS = 3
 
 
@@ -243,7 +244,11 @@ def _is_elementwise(act):
         y_abs = jax.eval_shape(act, jax.ShapeDtypeStruct(x.shape, x.dtype))
         verdict = (y_abs.shape == x.shape) and bool(jax.jit(_probe)(x, u))
     except Exception:
-        verdict = False
+        # NOT cached: a dispatch failure here can be a transient device/
+        # tunnel stall, and caching False would silently disable the Taylor
+        # fast path process-wide for a shared activation callable.  The
+        # next build re-probes.
+        return False
     try:
         _ELEMENTWISE_CACHE[act] = verdict
     except TypeError:
@@ -801,21 +806,22 @@ def make_modified_mlp_network(features, activation, in_dim,
                             for i in range(1, n_gates)]),
         }
 
-    def _use_scan():
-        # Depth-proportional HLO makes deep gated nets compile-bound (the
-        # body appears in the value fn, the Taylor taps AND their
-        # transpose); rolling the equal-shape gates into lax.scan keeps the
-        # compiled program O(1) in depth.  Shallow nets keep the unrolled
-        # form (scan's loop plumbing isn't worth it under
-        # _SCAN_MIN_LAYERS stacked layers).
-        return n_gates - 1 >= _SCAN_MIN_LAYERS
+    # Depth-proportional HLO makes deep gated nets compile-bound (the
+    # body appears in the value fn, the Taylor taps AND their
+    # transpose); rolling the equal-shape gates into lax.scan keeps the
+    # compiled program O(1) in depth.  Shallow nets keep the unrolled
+    # form (scan's loop plumbing isn't worth it under _SCAN_MIN_LAYERS
+    # stacked layers).  Decided ONCE at network build: toggling the module
+    # knob after build changes nothing, so a built network can never
+    # desync from the Solver's step-cache entries that traced it.
+    use_scan = n_gates - 1 >= _SCAN_MIN_LAYERS
 
     def apply(params, x):
         U = act(_dense(params["fcu"], x))
         W = act(_dense(params["fcw"], x))
         z = act(_dense(params["fc1"], x))
         h = U + z * (W - U)  # == (1 - z)·U + z·W
-        if _use_scan():
+        if use_scan:
             def body(h_, layer):
                 z_ = act(_dense(layer, h_))
                 return U + z_ * (W - U), None
@@ -861,7 +867,7 @@ def make_modified_mlp_network(features, activation, in_dim,
                     {mi: stU[1][mi] + pt[mi] for mi in closure})
 
         h = gate(params["fc1"], (V, taps))
-        if _use_scan():
+        if use_scan:
             # Identical math, rolled: the carry is (value, taps in fixed
             # key order); stU/stW/diff ride the closure as loop constants.
             # Keeps the compiled Taylor traversal O(1) in depth — the

@@ -18,9 +18,11 @@ print("min_secs=", jax.config.jax_persistent_cache_min_compile_time_secs)
 """
 
 
-def _run(extra_env):
+def _run(extra_env, remove=()):
     env = dict(os.environ, **extra_env)
     env.pop("JAX_PLATFORMS", None)  # the probe forces cpu in-process
+    for name in remove:
+        env.pop(name, None)
     return subprocess.run(
         [sys.executable, "-c", _PROBE], env=env, capture_output=True,
         text=True, timeout=120,
@@ -37,11 +39,6 @@ def test_env_toggle_wires_the_persistent_cache(tmp_path):
 
 
 def test_cache_stays_off_by_default():
-    env = {k: v for k, v in os.environ.items()
-           if k != "PYDENS_TPU_COMPILE_CACHE"}
-    out = subprocess.run(
-        [sys.executable, "-c", _PROBE], env=env, capture_output=True,
-        text=True, timeout=120,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = _run({}, remove=("PYDENS_TPU_COMPILE_CACHE",))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dir= None" in out.stdout

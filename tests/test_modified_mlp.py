@@ -146,20 +146,28 @@ def test_deep_net_scan_matches_unrolled(monkeypatch):
     and the nested-jvp ground truth."""
     from pydens_tpu.models import layout as layout_mod
 
-    init, apply, _ = make_modified_mlp_network([10] * 6 + [1], "Tanh",
-                                               in_dim=2)
-    params = init(jax.random.key(0))
     x = jax.random.uniform(jax.random.key(1), (8, 2))
     closure = [(0,), (1,), (0, 0), (1, 1), (0, 0, 0)]
 
+    # The scan/unrolled decision is fixed at network BUILD time (so a
+    # built network can never desync from the Solver's step cache) —
+    # each arm builds its own network; init is deterministic in the key,
+    # so both arms share identical parameters.
     results = {}
+    applies = {}
+    params = None
     for label, min_layers in (("scan", 1), ("unrolled", 99)):
         monkeypatch.setattr(layout_mod, "_SCAN_MIN_LAYERS", min_layers)
+        init, apply, _ = make_modified_mlp_network([10] * 6 + [1], "Tanh",
+                                                   in_dim=2)
+        params = init(jax.random.key(0))
+        applies[label] = apply
         results[label] = (np.asarray(apply(params, x)),
                           apply.taylor_taps(params, x, closure))
     # default threshold (3) puts this 6-hidden-layer net on the scan path
     monkeypatch.undo()
     assert layout_mod._SCAN_MIN_LAYERS <= 5
+    apply = applies["scan"]
 
     np.testing.assert_allclose(results["scan"][0], results["unrolled"][0],
                                rtol=1e-6, atol=1e-7)
